@@ -1,0 +1,159 @@
+"""Default hyper-parameters for the TPU-native node2vec framework.
+
+Mirrors the reference's config surface (``/root/reference/node2vec/constants.py:1-68``
+and the divergent native-spark copy at ``/root/reference/node2vec/spark.py:25-66``)
+but as typed dataclasses with the same merge-if-absent semantics.
+
+Two profiles exist in the reference with different defaults (SURVEY.md §2.6); we
+expose both and default to the "fugue" profile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Mapping, Optional
+
+# Hotspot trimming threshold: vertices with out-degree above this get their
+# out-edges randomly subsampled down to it (reference constants.py:6 uses 100k
+# for the fugue path; spark.py:26 uses 500k for the native path).
+MAX_OUT_DEGREES: int = 100_000
+MAX_OUT_DEGREES_NATIVE: int = 500_000
+
+# Reference partitions data into 3000 Spark shards (constants.py:10). The TPU
+# analogue is the number of walker chunks processed per device sweep; actual
+# device parallelism comes from the JAX mesh instead.
+NUM_PARTITIONS: int = 3000
+
+# node2vec walk defaults — fugue profile (reference constants.py:14-27).
+NODE2VEC_PARAMS: Dict[str, Any] = {
+    "num_walks": 10,
+    "walk_length": 20,
+    "return_param": 1.0,  # p
+    "inout_param": 1.0,  # q
+}
+
+# native-spark profile flips num_walks/walk_length (reference spark.py:34-47).
+NODE2VEC_PARAMS_NATIVE: Dict[str, Any] = {
+    "num_walks": 20,
+    "walk_length": 10,
+    "return_param": 1.0,
+    "inout_param": 1.0,
+}
+
+# word2vec defaults (reference constants.py:31-46; spark.py:51-66 uses minCount=0).
+WORD2VEC_PARAMS: Dict[str, Any] = {
+    "min_count": 10,
+    "num_partitions": 100,
+    "step_size": 0.025,
+    "max_iter": 10,
+    "max_sentence_length": 10_000,
+    "window_size": 5,
+    "vector_size": 128,
+}
+
+# gensim-backend defaults (reference constants.py:50-68). The reference defaults
+# to negative=0 (hierarchical softmax); the TPU build trains SGNS, so our
+# default is negative=5 — quality parity is validated by eval, not bit-match.
+GENSIM_PARAMS: Dict[str, Any] = {
+    "min_count": 10,
+    "alpha": 0.025,
+    "iter": 10,
+    "batch_words": 1000,
+    "window": 5,
+    "size": 128,
+    "negative": 5,
+    "workers": 16,
+}
+
+
+def merge_defaults(user: Optional[Mapping[str, Any]], defaults: Mapping[str, Any]) -> Dict[str, Any]:
+    """Merge-if-absent, matching reference fugue.py:120-122 / spark.py:448-456."""
+    out = dict(user or {})
+    for k, v in defaults.items():
+        out.setdefault(k, v)
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class Node2VecParams:
+    """Walk hyper-parameters (reference NODE2VEC_PARAMS, constants.py:14-27)."""
+
+    num_walks: int = 10
+    walk_length: int = 20
+    return_param: float = 1.0  # p: likelihood of revisiting the previous vertex
+    inout_param: float = 1.0  # q: in-out exploration bias
+
+    # TPU-specific knobs (no reference analogue):
+    max_rejection_trials: int = 64  # rejection-sampling round cap per step
+    walker_chunk: int = 1 << 17  # walkers processed per device sweep
+
+    def __post_init__(self) -> None:
+        if self.return_param == 0 or self.inout_param == 0:
+            # reference raises on p==0 or q==0 (randomwalk.py:214-217)
+            raise ValueError(
+                f"Zero return ({self.return_param}) or inout ({self.inout_param}) parameter!"
+            )
+        if self.walk_length < 1:
+            raise ValueError(f"walk_length must be >= 1, got {self.walk_length}")
+        if self.num_walks < 1:
+            raise ValueError(f"num_walks must be >= 1, got {self.num_walks}")
+
+    @classmethod
+    def from_dict(cls, d: Optional[Mapping[str, Any]], profile: str = "fugue") -> "Node2VecParams":
+        defaults = NODE2VEC_PARAMS if profile == "fugue" else NODE2VEC_PARAMS_NATIVE
+        merged = merge_defaults(d, defaults)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in merged.items() if k in known})
+
+
+@dataclasses.dataclass(frozen=True)
+class Word2VecParams:
+    """Skip-gram training hyper-parameters (reference WORD2VEC_PARAMS/GENSIM_PARAMS).
+
+    Validation ranges mirror reference spark.py:458-465 / embedding.py:109-116:
+    window_size in [5, 30], vector_size in [32, 1024].
+    """
+
+    min_count: int = 10
+    step_size: float = 0.025  # initial SGD learning rate (gensim "alpha")
+    max_iter: int = 10  # epochs over the walk corpus
+    window_size: int = 5
+    vector_size: int = 128
+    negative: int = 5  # negatives per positive pair (SGNS)
+    batch_walks: int = 8192  # walks per device batch
+    min_step_size: float = 1e-4  # floor of the linear LR decay (gensim min_alpha)
+    shrink_window: bool = True  # gensim-style random window shrinking
+    ns_exponent: float = 0.75  # unigram distortion for negative table
+    seed: int = 1
+
+    def __post_init__(self) -> None:
+        if not 5 <= self.window_size <= 30:
+            raise ValueError(
+                f"Inappropriate context window size {self.window_size}, it must be in [5, 30]!"
+            )
+        if not 32 <= self.vector_size <= 1024:
+            raise ValueError(
+                f"Inappropriate vector dimension {self.vector_size}, it must be in [32, 1024]!"
+            )
+
+    @classmethod
+    def from_dict(cls, d: Optional[Mapping[str, Any]]) -> "Word2VecParams":
+        merged = dict(d or {})
+        # accept reference spelling variants (spark "stepSize"/"maxIter", gensim "alpha"/"iter"/"size"/"window")
+        aliases = {
+            "stepSize": "step_size",
+            "maxIter": "max_iter",
+            "minCount": "min_count",
+            "windowSize": "window_size",
+            "vectorSize": "vector_size",
+            "alpha": "step_size",
+            "iter": "max_iter",
+            "size": "vector_size",
+            "window": "window_size",
+        }
+        for src, dst in aliases.items():
+            if src in merged and dst not in merged:
+                merged[dst] = merged.pop(src)
+        merged = merge_defaults(merged, dataclasses.asdict(cls()))
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in merged.items() if k in known})

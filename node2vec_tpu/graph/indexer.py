@@ -1,0 +1,64 @@
+"""Vertex indexing: arbitrary vertex names -> dense int32 ids and back.
+
+Parity with reference ``/root/reference/node2vec/indexer.py:9-82``: collect the
+union of src/dst names, assign each distinct name a dense id, relabel edges,
+keep a name<->id table for the return trip.  We use sorted-unique order (the
+reference's spark path does ``distinct().sort().zipWithIndex``,
+``indexer.py:69-71``); its pandas path uses first-appearance order — a known
+divergence the reference itself ships (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+
+def index_edges(
+    src: np.ndarray, dst: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Map arbitrary vertex names to dense ids.
+
+    Returns (src_ids int32, dst_ids int32, names) where ``names[id]`` is the
+    original vertex name (sorted ascending, so ids are deterministic).
+    """
+    all_names = np.concatenate([np.asarray(src), np.asarray(dst)])
+    names, inverse = np.unique(all_names, return_inverse=True)
+    if len(names) > np.iinfo(np.int32).max:
+        raise ValueError(f"Too many vertices for int32 ids: {len(names)}")
+    inverse = inverse.astype(np.int32)
+    n = len(src)
+    return inverse[:n], inverse[n:], names
+
+
+def index_graph_pandas(
+    df: pd.DataFrame, indexed: bool = False
+) -> Tuple[pd.DataFrame, Optional[pd.DataFrame]]:
+    """DataFrame-level indexing mirroring reference ``indexer.py:9-49``.
+
+    Input must have columns src/dst (+ optional weight, defaulted to 1.0,
+    reference spark.py:490-491).  Returns (edges with int32 src/dst ids,
+    name_id frame with columns [name, id]) — or (df, None) if already indexed.
+    """
+    if "src" not in df.columns or "dst" not in df.columns:
+        raise ValueError(f"Input graph NOT in the right format: {list(df.columns)}")
+    if "weight" not in df.columns:
+        df = df.assign(weight=np.float32(1.0))
+    if indexed:
+        out = df[["src", "dst", "weight"]].copy()
+        out["src"] = out["src"].astype(np.int32)
+        out["dst"] = out["dst"].astype(np.int32)
+        out["weight"] = out["weight"].astype(np.float32)
+        return out, None
+    src_ids, dst_ids, names = index_edges(df["src"].to_numpy(), df["dst"].to_numpy())
+    edges = pd.DataFrame(
+        {
+            "src": src_ids,
+            "dst": dst_ids,
+            "weight": df["weight"].to_numpy().astype(np.float32),
+        }
+    )
+    name_id = pd.DataFrame({"name": names, "id": np.arange(len(names), dtype=np.int32)})
+    return edges, name_id

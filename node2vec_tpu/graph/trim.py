@@ -1,0 +1,54 @@
+"""Hotspot-vertex trimming: subsample out-edges of very-high-degree vertices.
+
+Parity with reference ``/root/reference/node2vec/randomwalk.py:238-262`` and
+``spark.py:240-278``: any vertex whose out-degree exceeds ``max_out_degree``
+keeps a uniform random sample of exactly ``max_out_degree`` of its out-edges.
+The reference does a per-src ``random.sample``/``pandas.sample``; here it is a
+single vectorized pass: random priorities + lexsort + within-group rank.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from node2vec_tpu.constants import MAX_OUT_DEGREES
+
+
+def trim_hotspot_edges(
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: Optional[np.ndarray],
+    max_out_degree: int = 0,
+    random_seed: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """Keep at most ``max_out_degree`` random out-edges per source vertex.
+
+    Edge order within a kept group follows the random priority order (a uniform
+    sample, like the reference's ``random.sample``); CSR construction re-sorts
+    rows by dst afterwards so downstream results don't depend on it.
+    """
+    if max_out_degree <= 0:
+        max_out_degree = MAX_OUT_DEGREES
+    src = np.asarray(src)
+    n = len(src)
+    if n == 0:
+        return src, np.asarray(dst), weight
+
+    rng = np.random.default_rng(random_seed)
+    priority = rng.random(n)
+    order = np.lexsort((priority, src))
+    s_sorted = src[order]
+    # rank of each edge within its src group (0-based)
+    group_start = np.empty(n, dtype=np.int64)
+    new_group = np.empty(n, dtype=bool)
+    new_group[0] = True
+    new_group[1:] = s_sorted[1:] != s_sorted[:-1]
+    group_start = np.maximum.accumulate(np.where(new_group, np.arange(n), 0))
+    rank = np.arange(n) - group_start
+    keep_sorted = rank < max_out_degree
+    kept = order[keep_sorted]
+    kept.sort()  # preserve original edge order among survivors
+    w = None if weight is None else np.asarray(weight)[kept]
+    return src[kept], np.asarray(dst)[kept], w

@@ -1,0 +1,177 @@
+"""ctypes bindings to the native C++ graph core (libgraphcore.so).
+
+Compiled on first import with g++ if the shared library is missing or stale;
+all callers fall back to numpy implementations when unavailable (e.g. no
+toolchain), so the framework degrades gracefully but the production host path
+is native (SURVEY.md §2.4: the reference delegates this work to Spark's JVM).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "graph_core.cpp")
+_LIB_PATH = os.path.join(_HERE, "libgraphcore.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_N_THREADS = min(16, os.cpu_count() or 1)
+
+
+def _compile() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-fPIC", "-shared", "-pthread",
+        "-std=c++17", _SRC, "-o", _LIB_PATH,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as exc:  # noqa: BLE001 — any toolchain failure → numpy fallback
+        logger.warning("native graph core build failed (%s); using numpy fallback", exc)
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    needs_build = not os.path.exists(_LIB_PATH) or (
+        os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_LIB_PATH)
+    )
+    if needs_build and not _compile():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError as exc:
+        logger.warning("failed to load %s: %s", _LIB_PATH, exc)
+        return None
+
+    lib.n2v_build_csr.restype = ctypes.c_int
+    lib.n2v_build_csr.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32,
+    ]
+    lib.n2v_build_alias.restype = ctypes.c_int
+    lib.n2v_build_alias.argtypes = [
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32,
+    ]
+    lib.n2v_mirror_dedup.restype = ctypes.c_int64
+    lib.n2v_mirror_dedup.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def build_csr(
+    src: np.ndarray, dst: np.ndarray, weight: Optional[np.ndarray], n_vertices: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """CSR (indptr int64, indices int32 sorted per row, weights f32) from edges."""
+    lib = _load()
+    assert lib is not None
+    n_edges = len(src)
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    dst = np.ascontiguousarray(dst, dtype=np.int32)
+    w = None if weight is None else np.ascontiguousarray(weight, dtype=np.float32)
+    indptr = np.zeros(n_vertices + 1, dtype=np.int64)
+    indices = np.empty(n_edges, dtype=np.int32)
+    weights = np.empty(n_edges, dtype=np.float32)
+    rc = lib.n2v_build_csr(
+        n_edges,
+        _ptr(src, ctypes.c_int32),
+        _ptr(dst, ctypes.c_int32),
+        _ptr(w, ctypes.c_float) if w is not None else None,
+        n_vertices,
+        _ptr(indptr, ctypes.c_int64),
+        _ptr(indices, ctypes.c_int32),
+        _ptr(weights, ctypes.c_float),
+        _N_THREADS,
+    )
+    if rc != 0:
+        raise ValueError(f"n2v_build_csr failed with status {rc} (out-of-range vertex id?)")
+    return indptr, indices, weights
+
+
+def build_alias_csr(indptr: np.ndarray, weights: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Bulk per-edge (alias, prob) tables; alias slots are segment-local."""
+    lib = _load()
+    assert lib is not None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    weights = np.ascontiguousarray(weights, dtype=np.float32)
+    n_vertices = len(indptr) - 1
+    n_edges = int(indptr[-1])
+    alias = np.zeros(n_edges, dtype=np.int32)
+    prob = np.ones(n_edges, dtype=np.float32)
+    rc = lib.n2v_build_alias(
+        n_vertices,
+        _ptr(indptr, ctypes.c_int64),
+        _ptr(weights, ctypes.c_float),
+        _ptr(alias, ctypes.c_int32),
+        _ptr(prob, ctypes.c_float),
+        _N_THREADS,
+    )
+    if rc != 0:
+        raise ValueError(f"n2v_build_alias failed with status {rc} (non-positive row weight?)")
+    return alias, prob
+
+
+def mirror_dedup(
+    src: np.ndarray, dst: np.ndarray, weight: Optional[np.ndarray]
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Undirected mirroring: emit both edge directions, dedup (src,dst) pairs."""
+    lib = _load()
+    assert lib is not None
+    n_edges = len(src)
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    dst = np.ascontiguousarray(dst, dtype=np.int32)
+    w = None if weight is None else np.ascontiguousarray(weight, dtype=np.float32)
+    out_src = np.empty(2 * n_edges, dtype=np.int32)
+    out_dst = np.empty(2 * n_edges, dtype=np.int32)
+    out_w = np.empty(2 * n_edges, dtype=np.float32)
+    count = lib.n2v_mirror_dedup(
+        n_edges,
+        _ptr(src, ctypes.c_int32),
+        _ptr(dst, ctypes.c_int32),
+        _ptr(w, ctypes.c_float) if w is not None else None,
+        _ptr(out_src, ctypes.c_int32),
+        _ptr(out_dst, ctypes.c_int32),
+        _ptr(out_w, ctypes.c_float),
+    )
+    return out_src[:count].copy(), out_dst[:count].copy(), out_w[:count].copy()

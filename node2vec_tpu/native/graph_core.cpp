@@ -1,0 +1,176 @@
+// Native graph core for the TPU node2vec framework.
+//
+// Plays the role that Spark's JVM engine plays for the reference
+// (/root/reference/node2vec/spark.py:498-534 builds adjacency via shuffles;
+// SURVEY.md §2.4): the heavy host-side graph preprocessing — CSR construction
+// from an edge list and bulk alias-table construction — implemented as
+// multithreaded C++ invoked from Python via ctypes.  The TPU compute path
+// (walks, SGNS) consumes the resulting flat arrays directly via device_put.
+//
+// Build: g++ -O3 -march=native -fPIC -shared -pthread graph_core.cpp -o libgraphcore.so
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// Run fn(v) for v in [0, n) across n_threads workers on contiguous chunks.
+template <typename Fn>
+void parallel_for(int64_t n, int n_threads, Fn fn) {
+  if (n_threads <= 1 || n < 4096) {
+    for (int64_t i = 0; i < n; ++i) fn(i);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    threads.emplace_back([=]() {
+      for (int64_t i = lo; i < hi; ++i) fn(i);
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Build CSR from an edge list: counting-sort edges by src, then sort each
+// row's (dst, weight) pairs by dst ascending (sorted rows enable the walk
+// engine's binary-search membership test; the reference likewise sorts
+// neighbor lists, spark.py:298).
+//
+// indptr: out, length n_vertices+1 (int64)
+// indices: out, length n_edges (int32)
+// weights_out: out, length n_edges (float32)
+// Returns 0 on success, <0 on invalid input.
+int n2v_build_csr(int64_t n_edges, const int32_t* src, const int32_t* dst,
+                  const float* w, int32_t n_vertices, int64_t* indptr,
+                  int32_t* indices, float* weights_out, int32_t n_threads) {
+  if (n_edges < 0 || n_vertices < 0) return -1;
+  std::memset(indptr, 0, sizeof(int64_t) * (n_vertices + 1));
+
+  // Degree histogram.
+  for (int64_t e = 0; e < n_edges; ++e) {
+    int32_t s = src[e];
+    if (s < 0 || s >= n_vertices || dst[e] < 0 || dst[e] >= n_vertices) return -2;
+    ++indptr[s + 1];
+  }
+  for (int32_t v = 0; v < n_vertices; ++v) indptr[v + 1] += indptr[v];
+
+  // Scatter edges into rows.
+  std::vector<int64_t> cursor(indptr, indptr + n_vertices);
+  for (int64_t e = 0; e < n_edges; ++e) {
+    int64_t pos = cursor[src[e]]++;
+    indices[pos] = dst[e];
+    weights_out[pos] = w ? w[e] : 1.0f;
+  }
+
+  // Sort each row by dst, carrying weights.
+  parallel_for(n_vertices, n_threads, [&](int64_t v) {
+    int64_t lo = indptr[v], hi = indptr[v + 1];
+    int64_t deg = hi - lo;
+    if (deg <= 1) return;
+    std::vector<int64_t> perm(deg);
+    std::iota(perm.begin(), perm.end(), 0);
+    std::sort(perm.begin(), perm.end(), [&](int64_t a, int64_t b) {
+      return indices[lo + a] < indices[lo + b];
+    });
+    std::vector<int32_t> tmp_i(deg);
+    std::vector<float> tmp_w(deg);
+    for (int64_t k = 0; k < deg; ++k) {
+      tmp_i[k] = indices[lo + perm[k]];
+      tmp_w[k] = weights_out[lo + perm[k]];
+    }
+    std::memcpy(indices + lo, tmp_i.data(), deg * sizeof(int32_t));
+    std::memcpy(weights_out + lo, tmp_w.data(), deg * sizeof(float));
+  });
+  return 0;
+}
+
+// Bulk first-order alias-table construction over a CSR: one (alias, prob)
+// entry per edge, alias slots are segment-local.  Same underfull/overfull
+// LIFO-stack algorithm as the reference (randomwalk.py:170-190) so outputs
+// are comparable entry-for-entry; parallel over vertices.
+int n2v_build_alias(int32_t n_vertices, const int64_t* indptr,
+                    const float* weights, int32_t* alias, float* prob,
+                    int32_t n_threads) {
+  std::atomic<int> status{0};
+  parallel_for(n_vertices, n_threads, [&](int64_t v) {
+    int64_t lo = indptr[v], hi = indptr[v + 1];
+    int64_t deg = hi - lo;
+    if (deg == 0) return;
+    double total = 0.0;
+    for (int64_t k = lo; k < hi; ++k) total += weights[k];
+    if (!(total > 0.0)) {
+      status.store(-3);
+      return;
+    }
+    double scale = static_cast<double>(deg) / total;
+    std::vector<double> probs(deg);
+    for (int64_t k = 0; k < deg; ++k) probs[k] = weights[lo + k] * scale;
+
+    std::vector<int32_t> underfull, overfull;
+    underfull.reserve(deg);
+    overfull.reserve(deg);
+    for (int64_t i = 0; i < deg; ++i) {
+      alias[lo + i] = 0;
+      (probs[i] < 1.0 ? underfull : overfull).push_back(static_cast<int32_t>(i));
+    }
+    while (!underfull.empty() && !overfull.empty()) {
+      int32_t under = underfull.back();
+      underfull.pop_back();
+      int32_t over = overfull.back();
+      overfull.pop_back();
+      alias[lo + under] = over;
+      probs[over] = probs[over] + probs[under] - 1.0;
+      (probs[over] < 1.0 ? underfull : overfull).push_back(over);
+    }
+    for (int64_t i = 0; i < deg; ++i)
+      prob[lo + i] = static_cast<float>(probs[i]);
+  });
+  return status.load();
+}
+
+// Mirror each edge (u,v,w) -> (v,u,w), drop duplicate (src,dst) pairs keeping
+// the first occurrence, in-place over caller-allocated output arrays sized
+// 2*n_edges.  Returns the deduplicated edge count (reference: union reversed +
+// distinct, spark.py:496-497 / indexer.py:45-48).
+int64_t n2v_mirror_dedup(int64_t n_edges, const int32_t* src, const int32_t* dst,
+                         const float* w, int32_t* out_src, int32_t* out_dst,
+                         float* out_w) {
+  int64_t m = 2 * n_edges;
+  std::vector<int64_t> keys(m);
+  for (int64_t e = 0; e < n_edges; ++e) {
+    keys[e] = (static_cast<int64_t>(src[e]) << 32) | static_cast<uint32_t>(dst[e]);
+    keys[n_edges + e] =
+        (static_cast<int64_t>(dst[e]) << 32) | static_cast<uint32_t>(src[e]);
+  }
+  std::vector<int64_t> perm(m);
+  std::iota(perm.begin(), perm.end(), 0);
+  std::stable_sort(perm.begin(), perm.end(),
+                   [&](int64_t a, int64_t b) { return keys[a] < keys[b]; });
+  int64_t count = 0;
+  int64_t prev_key = -1;
+  for (int64_t i = 0; i < m; ++i) {
+    int64_t p = perm[i];
+    int64_t k = keys[p];
+    if (k == prev_key) continue;
+    prev_key = k;
+    int64_t orig = p < n_edges ? p : p - n_edges;
+    out_src[count] = static_cast<int32_t>(static_cast<uint64_t>(k) >> 32);
+    out_dst[count] = static_cast<int32_t>(k & 0xffffffff);
+    out_w[count] = w ? w[orig] : 1.0f;
+    ++count;
+  }
+  return count;
+}
+
+}  // extern "C"
