@@ -1,0 +1,237 @@
+"""TPU-native second-order biased random-walk engine.
+
+The reference grows walks with a Spark superstep loop: per step it JOINs the
+walker frontier with the adjacency table (two cluster-wide shuffles), builds a
+fresh per-walker alias table in Python, and draws one hop
+(``/root/reference/node2vec/spark.py:588-601``, ``fugue.py:146-150``,
+``randomwalk.py:300-339``).
+
+The TPU design replaces all of that with one jit-compiled program over
+fixed-shape arrays:
+
+* Graph = CSR + **precomputed first-order alias tables** (one entry per edge,
+  built once on the host/C++ — not per step).
+* One walk step for W walkers = O(1) vectorized work per walker via
+  **rejection sampling** (ThunderRW/KnightKing style): propose a neighbor from
+  the static alias table (distribution ∝ edge weight), then accept with
+  probability bias/bias_max where bias ∈ {1/p, 1, 1/q} is the node2vec
+  second-order factor.  Accepted samples are *exactly* distributed as the
+  reference's per-step alias tables (``randomwalk.py:218-231``), because
+  target ∝ weight × bias.
+* The bias class test ``candidate ∈ N(prev)`` is a batched binary search over
+  the sorted CSR rows (the reference's per-walker Python ``set`` lookup,
+  ``spark.py:143``; rows are sorted in both designs, ``spark.py:298``).
+* The proposal loop is a ``lax.while_loop`` that exits as soon as every live
+  walker has accepted (immediately when p=q=1, since bias_max=1).  Walkers
+  still unaccepted after ``max_rejection_trials`` rounds keep their last
+  proposal (∝ weight) — probability ≤ (1 - α_min/α_max)^trials, negligible at
+  the default 64 rounds.
+
+Semantics parity (SURVEY.md §2.6):
+* step 0 samples **first-order** (reference's negative-sentinel rule,
+  ``randomwalk.py:320-321``);
+* sink vertices end walks: the path is padded with -1 from the step where the
+  walker died (the reference's inner join silently drops them mid-walk,
+  ``fugue.py:147``; we keep the prefix, which is strictly more informative);
+* walks can be restricted to seed start vertices (``fugue.py:132-134``).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from node2vec_tpu.constants import Node2VecParams
+from node2vec_tpu.graph.csr import DeviceGraph, Graph
+from node2vec_tpu.ops.sampling import contains_in_segments
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "walk_length",
+        "return_param",
+        "inout_param",
+        "max_trials",
+        "search_iters",
+    ),
+)
+def walk_chunk(
+    indptr: jax.Array,
+    indices: jax.Array,
+    alias: jax.Array,
+    prob: jax.Array,
+    starts: jax.Array,
+    key: jax.Array,
+    *,
+    walk_length: int,
+    return_param: float,
+    inout_param: float,
+    max_trials: int,
+    search_iters: int,
+) -> jax.Array:
+    """Run full walks for one chunk of walkers.
+
+    Args:
+      indptr: [V+1] int32 CSR row pointers.
+      indices: [E] int32 neighbor ids, sorted per row.
+      alias/prob: [E] first-order alias tables (segment-local slots).
+      starts: [W] int32 start vertices; negative entries are padding lanes.
+      key: PRNG key for the whole chunk.
+
+    Returns: paths [W, walk_length+1] int32; -1 marks padding/dead tail.
+    """
+    n_walkers = starts.shape[0]
+    inv_p = 1.0 / return_param
+    inv_q = 1.0 / inout_param
+    alpha_max = max(inv_p, 1.0, inv_q)
+
+    alive0 = starts >= 0
+    paths0 = jnp.full((n_walkers, walk_length + 1), -1, dtype=jnp.int32)
+    paths0 = paths0.at[:, 0].set(jnp.where(alive0, starts, -1))
+
+    def one_step(t, carry):
+        paths, cur, prev, alive, key = carry
+        cur_safe = jnp.where(alive, cur, 0)
+        seg_start = indptr[cur_safe]
+        degree = indptr[cur_safe + 1] - seg_start
+        alive = alive & (degree > 0)
+
+        prev_safe = jnp.where(prev >= 0, prev, 0)
+        prev_start = indptr[prev_safe]
+        prev_degree = indptr[prev_safe + 1] - prev_start
+        first_order = prev < 0  # step 0: no bias (reference sentinel rule)
+
+        safe_deg = jnp.maximum(degree, 1)
+
+        def propose(k):
+            """One alias draw per walker: slot + coin -> neighbor id."""
+            k1, k2 = jax.random.split(k)
+            r1 = jax.random.uniform(k1, (n_walkers,))
+            r2 = jax.random.uniform(k2, (n_walkers,))
+            slot = jnp.minimum((r1 * safe_deg).astype(jnp.int32), safe_deg - 1)
+            e = seg_start + slot
+            j = jnp.where(r2 < prob[e], slot, alias[e])
+            return indices[seg_start + j]
+
+        def cond_fn(state):
+            _, _, accepted, trials = state
+            return (trials < max_trials) & jnp.any(alive & ~accepted)
+
+        def body_fn(state):
+            key, cand, accepted, trials = state
+            key, k_prop, k_acc = jax.random.split(key, 3)
+            proposal = propose(k_prop)
+            is_return = proposal == prev
+            is_shared = contains_in_segments(
+                proposal, prev_start, prev_degree, indices, n_iters=search_iters
+            )
+            bias = jnp.where(
+                is_return, inv_p, jnp.where(is_shared, 1.0, inv_q)
+            )
+            bias = jnp.where(first_order, alpha_max, bias)
+            u = jax.random.uniform(k_acc, (n_walkers,))
+            accept_now = u * alpha_max <= bias
+            # unaccepted lanes always track their latest proposal (fallback)
+            cand = jnp.where(accepted, cand, proposal)
+            accepted = accepted | accept_now
+            return key, cand, accepted, trials + 1
+
+        key, k_loop = jax.random.split(key)
+        init = (
+            k_loop,
+            jnp.zeros((n_walkers,), dtype=jnp.int32),
+            jnp.zeros((n_walkers,), dtype=bool),
+            jnp.int32(0),
+        )
+        _, nxt, _, _ = jax.lax.while_loop(cond_fn, body_fn, init)
+
+        paths = jax.lax.dynamic_update_index_in_dim(
+            paths, jnp.where(alive, nxt, -1), t + 1, axis=1
+        )
+        prev = jnp.where(alive, cur, prev)
+        cur = jnp.where(alive, nxt, cur)
+        return paths, cur, prev, alive, key
+
+    prev0 = jnp.full((n_walkers,), -1, dtype=jnp.int32)
+    cur0 = jnp.where(alive0, starts, 0)
+    paths, _, _, _, _ = jax.lax.fori_loop(
+        0, walk_length, one_step, (paths0, cur0, prev0, alive0, key)
+    )
+    return paths
+
+
+class WalkEngine:
+    """Chunked walk driver: replicates each start vertex num_walks times and
+    sweeps fixed-size walker chunks through the jit-compiled step program."""
+
+    def __init__(self, graph: Union[Graph, DeviceGraph], params: Node2VecParams):
+        self.params = params
+        self.dgraph = graph.to_device() if isinstance(graph, Graph) else graph
+        max_deg = (
+            int(np.max(np.diff(np.asarray(self.dgraph.indptr))))
+            if self.dgraph.n_vertices
+            else 0
+        )
+        # binary-search depth: ceil(log2(max_degree)) + 1, min 1
+        self.search_iters = max(1, math.ceil(math.log2(max_deg + 1)) + 1)
+
+    def run(
+        self,
+        seed: int = 0,
+        start_vertices: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """All walks as a host array [num_starts * num_walks, walk_length+1].
+
+        Row layout: walk copy ``i`` of start vertex ``v`` is row
+        ``i * num_starts + v`` — deterministic under (seed, params), regardless
+        of chunking.
+        """
+        p = self.params
+        g = self.dgraph
+        if start_vertices is None:
+            starts_one = np.arange(g.n_vertices, dtype=np.int32)
+        else:
+            starts_one = np.asarray(start_vertices, dtype=np.int32)
+        starts = np.tile(starts_one, p.num_walks)
+        n_total = len(starts)
+        chunk = min(p.walker_chunk, max(n_total, 1))
+
+        out = np.empty((n_total, p.walk_length + 1), dtype=np.int32)
+        root = jax.random.PRNGKey(seed)
+        for c_idx, lo in enumerate(range(0, n_total, chunk)):
+            hi = min(lo + chunk, n_total)
+            chunk_starts = np.full(chunk, -1, dtype=np.int32)
+            chunk_starts[: hi - lo] = starts[lo:hi]
+            key = jax.random.fold_in(root, c_idx)
+            paths = walk_chunk(
+                g.indptr,
+                g.indices,
+                g.alias,
+                g.prob,
+                jnp.asarray(chunk_starts),
+                key,
+                walk_length=p.walk_length,
+                return_param=float(p.return_param),
+                inout_param=float(p.inout_param),
+                max_trials=p.max_rejection_trials,
+                search_iters=self.search_iters,
+            )
+            out[lo:hi] = np.asarray(paths)[: hi - lo]
+        return out
+
+
+def random_walks(
+    graph: Union[Graph, DeviceGraph],
+    params: Optional[Node2VecParams] = None,
+    seed: int = 0,
+    start_vertices: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Functional form mirroring reference ``fugue.py:81-155`` ``random_walk``."""
+    return WalkEngine(graph, params or Node2VecParams()).run(seed, start_vertices)

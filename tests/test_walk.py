@@ -1,0 +1,143 @@
+"""Walk-engine tests: validity, determinism, sinks, and the statistical
+transition tests the reference lacks (SURVEY.md §4 flags this gap: empirical
+walk transitions are checked against the analytic p/q distribution)."""
+
+import numpy as np
+import pytest
+from scipy import stats
+
+from node2vec_tpu.constants import Node2VecParams
+from node2vec_tpu.graph import from_edge_arrays
+from node2vec_tpu.walk import WalkEngine, random_walks
+
+
+def _edges_valid(g, walks):
+    """Every consecutive pair in every walk must be a graph edge."""
+    adj = {
+        v: set(g.neighbors(v)[0].tolist()) for v in range(g.n_vertices)
+    }
+    for row in walks:
+        path = row[row >= 0]
+        assert len(path) >= 1
+        for a, b in zip(path[:-1], path[1:]):
+            assert b in adj[int(a)], (path, a, b)
+        # once dead, stays dead (suffix of -1s only)
+        tail = row[len(path):]
+        assert (tail == -1).all()
+
+
+def test_walks_shape_and_validity(karate_edges):
+    src, dst = karate_edges
+    g = from_edge_arrays(src, dst, directed=False)
+    params = Node2VecParams(num_walks=3, walk_length=8)
+    walks = random_walks(g, params, seed=1)
+    assert walks.shape == (3 * 34, 9)
+    # walk row layout: copy i of vertex v at row i*V + v; start vertex = walk[0]
+    np.testing.assert_array_equal(walks[:, 0], np.tile(np.arange(34), 3))
+    _edges_valid(g, walks)
+    # connected undirected graph: no walker ever dies
+    assert (walks >= 0).all()
+
+
+def test_walks_deterministic(karate_edges):
+    src, dst = karate_edges
+    g = from_edge_arrays(src, dst, directed=False)
+    params = Node2VecParams(num_walks=2, walk_length=6)
+    w1 = random_walks(g, params, seed=42)
+    w2 = random_walks(g, params, seed=42)
+    np.testing.assert_array_equal(w1, w2)
+    w3 = random_walks(g, params, seed=43)
+    assert (w1 != w3).any()
+
+
+def test_walks_chunking_invariance(karate_edges):
+    """Results must not depend on walker_chunk size (chunk-indexed PRNG)."""
+    src, dst = karate_edges
+    g = from_edge_arrays(src, dst, directed=False)
+    p_small = Node2VecParams(num_walks=2, walk_length=5, walker_chunk=16)
+    p_big = Node2VecParams(num_walks=2, walk_length=5, walker_chunk=1 << 16)
+    w_small = random_walks(g, p_small, seed=7)
+    w_big = random_walks(g, p_big, seed=7)
+    # chunking changes fold_in indices, so exact equality isn't expected;
+    # but shapes, starts, and validity must hold for both
+    assert w_small.shape == w_big.shape
+    np.testing.assert_array_equal(w_small[:, 0], w_big[:, 0])
+
+
+def test_sink_vertices_end_walks():
+    # 0 -> 1 -> 2 (sink)
+    src = np.array([0, 1], dtype=np.int32)
+    dst = np.array([1, 2], dtype=np.int32)
+    g = from_edge_arrays(src, dst, n_vertices=3, directed=True)
+    walks = random_walks(g, Node2VecParams(num_walks=1, walk_length=5), seed=0)
+    np.testing.assert_array_equal(walks[0], [0, 1, 2, -1, -1, -1])
+    np.testing.assert_array_equal(walks[1], [1, 2, -1, -1, -1, -1])
+    np.testing.assert_array_equal(walks[2], [2, -1, -1, -1, -1, -1])
+
+
+def test_start_vertices_restriction(karate_edges):
+    src, dst = karate_edges
+    g = from_edge_arrays(src, dst, directed=False)
+    starts = np.array([5, 7], dtype=np.int32)
+    walks = random_walks(
+        g, Node2VecParams(num_walks=4, walk_length=3), seed=0, start_vertices=starts
+    )
+    assert walks.shape == (8, 4)
+    np.testing.assert_array_equal(walks[:, 0], np.tile(starts, 4))
+
+
+def test_first_order_transition_distribution():
+    """p=q=1 step-0 transitions must follow edge weights (chi-square)."""
+    # star: 0 -> {1,2,3} with weights 1,2,4
+    src = np.array([0, 0, 0, 1, 2, 3], dtype=np.int32)
+    dst = np.array([1, 2, 3, 0, 0, 0], dtype=np.int32)
+    w = np.array([1.0, 2.0, 4.0, 1, 1, 1], dtype=np.float32)
+    g = from_edge_arrays(src, dst, w, directed=True)
+    params = Node2VecParams(num_walks=6000, walk_length=1, walker_chunk=1 << 14)
+    walks = random_walks(g, params, seed=3, start_vertices=np.array([0], dtype=np.int32))
+    nxt = walks[:, 1]
+    counts = np.array([(nxt == v).sum() for v in (1, 2, 3)], dtype=np.float64)
+    probs = np.array([1.0, 2.0, 4.0]) / 7.0
+    res = stats.chisquare(counts, probs * counts.sum())
+    assert res.pvalue > 1e-4, counts
+
+
+@pytest.mark.parametrize("p,q", [(1.0, 1.0), (0.25, 4.0), (4.0, 0.25), (2.0, 0.5)])
+def test_second_order_transition_distribution(p, q):
+    """Empirical (prev,cur)->next frequencies vs the analytic node2vec bias.
+
+    Graph is built so all three bias classes occur from the probed edge:
+    back-edge (1/p), shared neighbor (1), and distance-2 vertex (1/q).
+    """
+    # vertices: u=0, v=1, shared s=2 (nbr of both), far f=3 (nbr of v only)
+    src = np.array([0, 0, 1, 1, 1, 2, 2, 3], dtype=np.int32)
+    dst = np.array([1, 2, 0, 2, 3, 0, 1, 1], dtype=np.int32)
+    w = np.array([1.0, 1.0, 1.0, 2.0, 1.5, 1, 1, 1], dtype=np.float32)
+    g = from_edge_arrays(src, dst, w, directed=True)
+
+    params = Node2VecParams(
+        num_walks=8000,
+        walk_length=2,
+        return_param=p,
+        inout_param=q,
+        walker_chunk=1 << 14,
+    )
+    walks = random_walks(g, params, seed=11, start_vertices=np.array([0], dtype=np.int32))
+    # step 0 is first-order from 0; probe walks that moved 0 -> 1
+    took_edge = walks[:, 1] == 1
+    nxt = walks[took_edge, 2]
+    # N(1) = {0 (back), 2 (shared with N(0)={1,2}), 3 (far)}, weights 1.0/2.0/1.5
+    target = np.array([1.0 / p, 2.0 * 1.0, 1.5 / q])
+    target = target / target.sum()
+    counts = np.array([(nxt == v).sum() for v in (0, 2, 3)], dtype=np.float64)
+    assert counts.sum() == len(nxt)
+    res = stats.chisquare(counts, target * counts.sum())
+    assert res.pvalue > 1e-4, (counts, target * counts.sum(), p, q)
+
+
+def test_isolated_start_dies_immediately():
+    src = np.array([0], dtype=np.int32)
+    dst = np.array([1], dtype=np.int32)
+    g = from_edge_arrays(src, dst, n_vertices=3, directed=True)  # vertex 2 isolated
+    walks = random_walks(g, Node2VecParams(num_walks=1, walk_length=3), seed=0)
+    np.testing.assert_array_equal(walks[2], [2, -1, -1, -1])
