@@ -1,0 +1,68 @@
+"""Vocabulary and negative-sampling table for skip-gram training.
+
+Parity: the reference casts walk vertex ids to strings and lets
+gensim/spark.ml build a vocabulary, dropping vertices rarer than ``minCount``
+(``/root/reference/node2vec/embedding.py:125,237-239``, ``constants.py:33``).
+Here vertex ids index arrays directly — the "vocabulary" is a count vector, a
+min-count mask, and an alias table over the unigram^0.75 noise distribution
+(word2vec's standard SGNS negative distribution).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Vocabulary:
+    counts: np.ndarray  # [V] int64 corpus frequency of each vertex
+    mask: np.ndarray  # [V] bool — True where counts >= min_count
+    ns_alias: np.ndarray  # [V] int32 alias table over unigram^0.75
+    ns_prob: np.ndarray  # [V] float32
+
+    @property
+    def n_vertices(self) -> int:
+        return len(self.counts)
+
+    @property
+    def n_kept(self) -> int:
+        return int(self.mask.sum())
+
+
+def build_vocab(
+    walks: np.ndarray,
+    n_vertices: Optional[int] = None,
+    min_count: int = 1,
+    ns_exponent: float = 0.75,
+) -> Vocabulary:
+    """Count vertices over the walk corpus and build the noise alias table.
+
+    ``walks`` is int32 [N, L+1] with -1 padding. Vertices below ``min_count``
+    are masked out of training and excluded from the noise distribution
+    (gensim behavior: they are simply not in the vocab).
+    """
+    from node2vec_tpu.ops.alias import build_alias_csr
+
+    flat = walks.reshape(-1)
+    flat = flat[flat >= 0]
+    if n_vertices is None:
+        n_vertices = int(flat.max()) + 1 if len(flat) else 0
+    counts = np.bincount(flat, minlength=n_vertices).astype(np.int64)
+    mask = counts >= max(min_count, 1)
+
+    noise = counts.astype(np.float64) ** ns_exponent
+    noise[~mask] = 0.0
+    if noise.sum() == 0:
+        # degenerate corpus: uniform noise so sampling stays well-defined
+        noise = np.ones(max(n_vertices, 1), dtype=np.float64)
+    indptr = np.array([0, n_vertices], dtype=np.int64)
+    ns_alias, ns_prob = build_alias_csr(indptr, noise.astype(np.float32))
+    return Vocabulary(
+        counts=counts,
+        mask=mask,
+        ns_alias=ns_alias.astype(np.int32),
+        ns_prob=ns_prob.astype(np.float32),
+    )

@@ -1,0 +1,125 @@
+"""Word2VecTPU: the skip-gram trainer driver (epochs, batching, LR decay).
+
+Plays the role of ``gensim.models.Word2Vec`` / ``spark.ml.feature.Word2Vec``
+in the reference (``/root/reference/node2vec/embedding.py:120-127,233-242``):
+walks in, per-vertex embedding vectors out.  Training sweeps jit-compiled
+SGNS steps over shuffled walk batches with word2vec's linear learning-rate
+decay (stepSize=0.025 default mirrored from ``constants.py:37``).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from node2vec_tpu.constants import Word2VecParams
+from node2vec_tpu.models.skipgram import init_embeddings, sgns_train_step
+from node2vec_tpu.models.vocab import Vocabulary, build_vocab
+
+logger = logging.getLogger(__name__)
+
+
+class Word2VecTPU:
+    """Skip-gram negative-sampling trainer over walk corpora."""
+
+    def __init__(
+        self,
+        params: Optional[Word2VecParams] = None,
+        shared_negatives: int = 64,
+    ):
+        self.params = params or Word2VecParams()
+        self.shared_negatives = shared_negatives
+        self.vocab: Optional[Vocabulary] = None
+        self.emb_in: Optional[np.ndarray] = None
+        self.emb_out: Optional[np.ndarray] = None
+        self._losses: list = []
+
+    def fit(
+        self,
+        walks: np.ndarray,
+        n_vertices: Optional[int] = None,
+        verbose: bool = False,
+    ) -> "Word2VecTPU":
+        """Train embeddings over a walk corpus [N, L+1] int32 (-1 padded)."""
+        p = self.params
+        walks = np.asarray(walks, dtype=np.int32)
+        self.vocab = build_vocab(
+            walks, n_vertices, min_count=p.min_count, ns_exponent=p.ns_exponent
+        )
+        n_v = self.vocab.n_vertices
+        if self.vocab.n_kept == 0:
+            raise ValueError(
+                f"No vertex meets min_count={p.min_count}; corpus too small"
+            )
+
+        emb_in, emb_out, acc_in, acc_out = init_embeddings(
+            n_v, p.vector_size, seed=p.seed
+        )
+        ns_alias = jnp.asarray(self.vocab.ns_alias)
+        ns_prob = jnp.asarray(self.vocab.ns_prob)
+        vocab_mask = jnp.asarray(self.vocab.mask)
+
+        n_walks = len(walks)
+        batch = min(p.batch_walks, n_walks)
+        n_batches = (n_walks + batch - 1) // batch
+        total_steps = max(p.max_iter * n_batches, 1)
+        rng = np.random.default_rng(p.seed)
+        root_key = jax.random.PRNGKey(p.seed)
+
+        self._losses = []
+        step = 0
+        for epoch in range(p.max_iter):
+            order = rng.permutation(n_walks)
+            for b in range(n_batches):
+                idx = order[b * batch : (b + 1) * batch]
+                wb = walks[idx]
+                if len(wb) < batch:  # pad final batch to the static shape
+                    pad = np.full((batch - len(wb), walks.shape[1]), -1, np.int32)
+                    wb = np.concatenate([wb, pad])
+                lr = max(
+                    p.step_size * (1.0 - step / total_steps), p.min_step_size
+                )
+                key = jax.random.fold_in(root_key, step)
+                emb_in, emb_out, acc_in, acc_out, loss = sgns_train_step(
+                    emb_in,
+                    emb_out,
+                    acc_in,
+                    acc_out,
+                    jnp.asarray(wb),
+                    key,
+                    jnp.float32(lr),
+                    ns_alias,
+                    ns_prob,
+                    vocab_mask,
+                    window=p.window_size,
+                    negatives=p.negative,
+                    shared_negatives=self.shared_negatives,
+                    shrink_window=p.shrink_window,
+                )
+                step += 1
+            epoch_loss = float(loss)
+            self._losses.append(epoch_loss)
+            if verbose:
+                logger.info("epoch %d/%d loss=%.4f lr=%.5f", epoch + 1, p.max_iter, epoch_loss, lr)
+
+        self.emb_in = np.asarray(emb_in)
+        self.emb_out = np.asarray(emb_out)
+        return self
+
+    @property
+    def vectors(self) -> np.ndarray:
+        """Input embedding table [V, D] (word2vec convention: input side)."""
+        if self.emb_in is None:
+            raise RuntimeError("model not fitted yet")
+        return self.emb_in
+
+    def vector(self, vertex_id: int) -> np.ndarray:
+        v = self.vectors[vertex_id]
+        if self.vocab is not None and not self.vocab.mask[vertex_id]:
+            raise KeyError(f"vertex {vertex_id} below min_count (not in vocabulary)")
+        return v
