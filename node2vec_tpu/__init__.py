@@ -18,8 +18,20 @@ from node2vec_tpu.constants import (
     Word2VecParams,
 )
 from node2vec_tpu.graph import Graph, build_graph
+from node2vec_tpu.api import Node2Vec, trim_index, random_walk
+from node2vec_tpu.embedding import Node2VecBase, Node2VecTPUEmbedding
+from node2vec_tpu.models.word2vec import Word2VecTPU
+from node2vec_tpu.walk import WalkEngine, random_walks
 
 __all__ = [
+    "Node2Vec",
+    "trim_index",
+    "random_walk",
+    "Node2VecBase",
+    "Node2VecTPUEmbedding",
+    "Word2VecTPU",
+    "WalkEngine",
+    "random_walks",
     "__version__",
     "MAX_OUT_DEGREES",
     "NODE2VEC_PARAMS",

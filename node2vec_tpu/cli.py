@@ -1,0 +1,209 @@
+"""Three-stage CLI driver: index | walk | embed | eval.
+
+The reference examples dispatch on ``sys.argv[1]`` across the same stages with
+parquet handoff between them (``/root/reference/examples/native_spark.py:39-61``,
+``examples/fugue_spark.py:35-75``); this driver adds a real argument parser
+and an eval stage, with npz artifact handoff.
+
+Usage:
+  python -m node2vec_tpu.cli index --input edges.csv --workdir /tmp/run [--undirected --log1p]
+  python -m node2vec_tpu.cli walk  --workdir /tmp/run [--num-walks 10 --walk-length 20 -p 1.0 -q 1.0]
+  python -m node2vec_tpu.cli embed --workdir /tmp/run [--dim 128 --epochs 10]
+  python -m node2vec_tpu.cli eval  --workdir /tmp/run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+logging.basicConfig(
+    level=logging.INFO, format="%(asctime)s %(levelname)s %(name)s: %(message)s"
+)
+logger = logging.getLogger("node2vec_tpu.cli")
+
+
+def _graph_paths(workdir: str):
+    return os.path.join(workdir, "graph.npz"), os.path.join(workdir, "walks.npz")
+
+
+def stage_index(args) -> None:
+    from node2vec_tpu.graph import build_graph
+
+    g = build_graph(
+        args.input,
+        indexed=args.indexed,
+        directed=not args.undirected,
+        max_out_degree=args.max_out_degree,
+        random_seed=args.seed,
+        log1p_weight=args.log1p,
+    )
+    os.makedirs(args.workdir, exist_ok=True)
+    graph_path, _ = _graph_paths(args.workdir)
+    np.savez_compressed(
+        graph_path,
+        indptr=g.indptr,
+        indices=g.indices,
+        weights=g.weights,
+        alias=g.alias,
+        prob=g.prob,
+        names=g.names if g.names is not None else np.array([]),
+        directed=np.bool_(g.directed),
+    )
+    logger.info(
+        "indexed graph: %d vertices, %d edges -> %s",
+        g.n_vertices,
+        g.n_edges,
+        graph_path,
+    )
+
+
+def _load_graph(workdir: str):
+    from node2vec_tpu.graph import Graph
+
+    graph_path, _ = _graph_paths(workdir)
+    z = np.load(graph_path, allow_pickle=True)
+    names = z["names"] if len(z["names"]) else None
+    return Graph(
+        indptr=z["indptr"],
+        indices=z["indices"],
+        weights=z["weights"],
+        alias=z["alias"],
+        prob=z["prob"],
+        names=names,
+        directed=bool(z["directed"]),
+    )
+
+
+def stage_walk(args) -> None:
+    from node2vec_tpu.constants import Node2VecParams
+    from node2vec_tpu.utils.metrics import StepTimer
+    from node2vec_tpu.walk import WalkEngine
+
+    g = _load_graph(args.workdir)
+    params = Node2VecParams(
+        num_walks=args.num_walks,
+        walk_length=args.walk_length,
+        return_param=args.p,
+        inout_param=args.q,
+    )
+    timer = StepTimer()
+    t0 = time.time()
+    engine = WalkEngine(g, params)
+    walks = engine.run(
+        seed=args.seed,
+        checkpoint_dir=os.path.join(args.workdir, "walk_ckpt") if args.checkpoint else None,
+        timer=timer,
+    )
+    dt = time.time() - t0
+    _, walks_path = _graph_paths(args.workdir)
+    np.savez_compressed(walks_path, walks=walks)
+    steps = int((walks >= 0).sum() - len(walks))
+    logger.info(
+        "walks %s in %.2fs (%.0f walk-steps/s) -> %s",
+        walks.shape,
+        dt,
+        steps / dt if dt > 0 else 0,
+        walks_path,
+    )
+
+
+def stage_embed(args) -> None:
+    from node2vec_tpu.constants import Word2VecParams
+    from node2vec_tpu.embedding import Node2VecTPUEmbedding
+
+    g = _load_graph(args.workdir)
+    _, walks_path = _graph_paths(args.workdir)
+    walks = np.load(walks_path)["walks"]
+    params = Word2VecParams(
+        min_count=args.min_count,
+        vector_size=args.dim,
+        max_iter=args.epochs,
+        window_size=args.window,
+        negative=args.negative,
+        step_size=args.lr,
+    )
+    backend = Node2VecTPUEmbedding(
+        df_walks=walks, name_id=g.names, w2v_params=params
+    )
+    t0 = time.time()
+    backend.model.fit(
+        walks,
+        n_vertices=g.n_vertices,
+        verbose=True,
+        checkpoint_dir=os.path.join(args.workdir, "train_ckpt") if args.checkpoint else None,
+    )
+    logger.info("training done in %.2fs", time.time() - t0)
+    backend.save_model(args.workdir, "model")
+    backend.save_vectors(args.workdir, "vectors.txt")
+    logger.info("saved model + vectors under %s", args.workdir)
+
+
+def stage_eval(args) -> None:
+    from node2vec_tpu.eval import link_prediction_auc, sample_negative_edges
+
+    g = _load_graph(args.workdir)
+    z = np.load(os.path.join(args.workdir, "model.npz"), allow_pickle=True)
+    emb = z["emb_in"]
+    emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    src = np.repeat(np.arange(g.n_vertices), np.diff(g.indptr))
+    n_pos = min(len(src), 10_000)
+    rng = np.random.default_rng(args.seed)
+    pick = rng.choice(len(src), n_pos, replace=False)
+    neg = sample_negative_edges(g.indptr, g.indices, n_pos, seed=args.seed)
+    auc = link_prediction_auc(emb, (src[pick], g.indices[pick]), neg)
+    result = {"metric": "link_pred_auc", "value": auc, "n_edges_eval": n_pos}
+    print(json.dumps(result))
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="node2vec_tpu")
+    sub = parser.add_subparsers(dest="stage", required=True)
+
+    p_index = sub.add_parser("index", help="ingest + index + trim an edge list")
+    p_index.add_argument("--input", required=True, help="edge file (csv/parquet/npz/txt)")
+    p_index.add_argument("--workdir", required=True)
+    p_index.add_argument("--indexed", action="store_true", help="ids already dense ints")
+    p_index.add_argument("--undirected", action="store_true")
+    p_index.add_argument("--log1p", action="store_true", help="log1p-transform weights")
+    p_index.add_argument("--max-out-degree", type=int, default=0)
+    p_index.add_argument("--seed", type=int, default=0)
+
+    p_walk = sub.add_parser("walk", help="generate the walk corpus")
+    p_walk.add_argument("--workdir", required=True)
+    p_walk.add_argument("--num-walks", type=int, default=10)
+    p_walk.add_argument("--walk-length", type=int, default=20)
+    p_walk.add_argument("-p", type=float, default=1.0, dest="p")
+    p_walk.add_argument("-q", type=float, default=1.0, dest="q")
+    p_walk.add_argument("--seed", type=int, default=0)
+    p_walk.add_argument("--checkpoint", action="store_true")
+
+    p_embed = sub.add_parser("embed", help="train skip-gram embeddings")
+    p_embed.add_argument("--workdir", required=True)
+    p_embed.add_argument("--dim", type=int, default=128)
+    p_embed.add_argument("--epochs", type=int, default=10)
+    p_embed.add_argument("--window", type=int, default=5)
+    p_embed.add_argument("--negative", type=int, default=5)
+    p_embed.add_argument("--min-count", type=int, default=10)
+    p_embed.add_argument("--lr", type=float, default=0.025)
+    p_embed.add_argument("--checkpoint", action="store_true")
+
+    p_eval = sub.add_parser("eval", help="link-prediction AUC of trained vectors")
+    p_eval.add_argument("--workdir", required=True)
+    p_eval.add_argument("--seed", type=int, default=0)
+
+    args = parser.parse_args(argv)
+    {"index": stage_index, "walk": stage_walk, "embed": stage_embed, "eval": stage_eval}[
+        args.stage
+    ](args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

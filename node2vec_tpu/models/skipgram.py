@@ -90,12 +90,7 @@ def make_pairs(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("window", "negatives", "shared_negatives", "shrink_window"),
-    donate_argnames=("emb_in", "emb_out", "acc_in", "acc_out"),
-)
-def sgns_train_step(
+def sgns_train_step_impl(
     emb_in: jnp.ndarray,
     emb_out: jnp.ndarray,
     acc_in: jnp.ndarray,
@@ -179,6 +174,13 @@ def sgns_train_step(
     emb_out = emb_out.at[context].add(-lr * d_co * scale_co[:, None])
     emb_out = emb_out.at[neg_ids].add(-lr * d_no * scale_no[:, None])
     return emb_in, emb_out, acc_in, acc_out, loss
+
+
+sgns_train_step = functools.partial(
+    jax.jit,
+    static_argnames=("window", "negatives", "shared_negatives", "shrink_window"),
+    donate_argnames=("emb_in", "emb_out", "acc_in", "acc_out"),
+)(sgns_train_step_impl)
 
 
 def pairs_per_batch(n_walks: int, walk_length: int, window: int) -> int:

@@ -44,8 +44,17 @@ class Word2VecTPU:
         walks: np.ndarray,
         n_vertices: Optional[int] = None,
         verbose: bool = False,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 1,
+        timer=None,
     ) -> "Word2VecTPU":
-        """Train embeddings over a walk corpus [N, L+1] int32 (-1 padded)."""
+        """Train embeddings over a walk corpus [N, L+1] int32 (-1 padded).
+
+        With ``checkpoint_dir``, state is saved every ``checkpoint_every``
+        epochs and fit() resumes from the newest saved epoch.
+        """
+        from node2vec_tpu.utils.checkpoint import load_train_state, save_train_state
+
         p = self.params
         walks = np.asarray(walks, dtype=np.int32)
         self.vocab = build_vocab(
@@ -60,6 +69,15 @@ class Word2VecTPU:
         emb_in, emb_out, acc_in, acc_out = init_embeddings(
             n_v, p.vector_size, seed=p.seed
         )
+        start_epoch = 0
+        state = load_train_state(checkpoint_dir)
+        if state is not None:
+            start_epoch, e_in, e_out, a_in, a_out = state
+            emb_in = jnp.asarray(e_in)
+            emb_out = jnp.asarray(e_out)
+            acc_in = jnp.asarray(a_in)
+            acc_out = jnp.asarray(a_out)
+            logger.info("resuming training from epoch %d", start_epoch)
         ns_alias = jnp.asarray(self.vocab.ns_alias)
         ns_prob = jnp.asarray(self.vocab.ns_prob)
         vocab_mask = jnp.asarray(self.vocab.mask)
@@ -72,8 +90,8 @@ class Word2VecTPU:
         root_key = jax.random.PRNGKey(p.seed)
 
         self._losses = []
-        step = 0
-        for epoch in range(p.max_iter):
+        step = start_epoch * n_batches
+        for epoch in range(start_epoch, p.max_iter):
             order = rng.permutation(n_walks)
             for b in range(n_batches):
                 idx = order[b * batch : (b + 1) * batch]
@@ -85,6 +103,9 @@ class Word2VecTPU:
                     p.step_size * (1.0 - step / total_steps), p.min_step_size
                 )
                 key = jax.random.fold_in(root_key, step)
+                ctx = timer.measure("sgns_step") if timer is not None else None
+                if ctx is not None:
+                    ctx.__enter__()
                 emb_in, emb_out, acc_in, acc_out, loss = sgns_train_step(
                     emb_in,
                     emb_out,
@@ -101,11 +122,23 @@ class Word2VecTPU:
                     shared_negatives=self.shared_negatives,
                     shrink_window=p.shrink_window,
                 )
+                if ctx is not None:
+                    loss.block_until_ready()
+                    ctx.__exit__(None, None, None)
                 step += 1
             epoch_loss = float(loss)
             self._losses.append(epoch_loss)
             if verbose:
                 logger.info("epoch %d/%d loss=%.4f lr=%.5f", epoch + 1, p.max_iter, epoch_loss, lr)
+            if checkpoint_dir and (epoch + 1) % checkpoint_every == 0:
+                save_train_state(
+                    checkpoint_dir,
+                    epoch + 1,
+                    np.asarray(emb_in),
+                    np.asarray(emb_out),
+                    np.asarray(acc_in),
+                    np.asarray(acc_out),
+                )
 
         self.emb_in = np.asarray(emb_in)
         self.emb_out = np.asarray(emb_out)

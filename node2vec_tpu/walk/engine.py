@@ -38,6 +38,7 @@ Semantics parity (SURVEY.md §2.6):
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 from typing import Optional, Union
@@ -52,17 +53,12 @@ from node2vec_tpu.graph.csr import DeviceGraph, Graph
 from node2vec_tpu.ops.sampling import contains_in_segments
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "walk_length",
-        "return_param",
-        "inout_param",
-        "max_trials",
-        "search_iters",
-    ),
-)
-def walk_chunk(
+@contextlib.contextmanager
+def _null_ctx():
+    yield
+
+
+def walk_chunk_impl(
     indptr: jax.Array,
     indices: jax.Array,
     alias: jax.Array,
@@ -167,6 +163,18 @@ def walk_chunk(
     return paths
 
 
+walk_chunk = jax.jit(
+    walk_chunk_impl,
+    static_argnames=(
+        "walk_length",
+        "return_param",
+        "inout_param",
+        "max_trials",
+        "search_iters",
+    ),
+)
+
+
 class WalkEngine:
     """Chunked walk driver: replicates each start vertex num_walks times and
     sweeps fixed-size walker chunks through the jit-compiled step program."""
@@ -186,13 +194,19 @@ class WalkEngine:
         self,
         seed: int = 0,
         start_vertices: Optional[np.ndarray] = None,
+        checkpoint_dir: Optional[str] = None,
+        timer=None,
     ) -> np.ndarray:
         """All walks as a host array [num_starts * num_walks, walk_length+1].
 
         Row layout: walk copy ``i`` of start vertex ``v`` is row
         ``i * num_starts + v`` — deterministic under (seed, params), regardless
-        of chunking.
+        of chunking.  With ``checkpoint_dir``, completed chunks are persisted
+        and a restarted run skips them (the reference's every-10-steps
+        lineage checkpoint analogue, spark.py:597-598).
         """
+        from node2vec_tpu.utils.checkpoint import load_walk_chunks, save_walk_chunk
+
         p = self.params
         g = self.dgraph
         if start_vertices is None:
@@ -203,27 +217,36 @@ class WalkEngine:
         n_total = len(starts)
         chunk = min(p.walker_chunk, max(n_total, 1))
 
+        done = load_walk_chunks(checkpoint_dir)
         out = np.empty((n_total, p.walk_length + 1), dtype=np.int32)
         root = jax.random.PRNGKey(seed)
         for c_idx, lo in enumerate(range(0, n_total, chunk)):
             hi = min(lo + chunk, n_total)
+            if c_idx in done and done[c_idx].shape == (hi - lo, p.walk_length + 1):
+                out[lo:hi] = done[c_idx]
+                continue
             chunk_starts = np.full(chunk, -1, dtype=np.int32)
             chunk_starts[: hi - lo] = starts[lo:hi]
             key = jax.random.fold_in(root, c_idx)
-            paths = walk_chunk(
-                g.indptr,
-                g.indices,
-                g.alias,
-                g.prob,
-                jnp.asarray(chunk_starts),
-                key,
-                walk_length=p.walk_length,
-                return_param=float(p.return_param),
-                inout_param=float(p.inout_param),
-                max_trials=p.max_rejection_trials,
-                search_iters=self.search_iters,
-            )
-            out[lo:hi] = np.asarray(paths)[: hi - lo]
+            ctx = timer.measure("walk_chunk") if timer is not None else _null_ctx()
+            with ctx:
+                paths = walk_chunk(
+                    g.indptr,
+                    g.indices,
+                    g.alias,
+                    g.prob,
+                    jnp.asarray(chunk_starts),
+                    key,
+                    walk_length=p.walk_length,
+                    return_param=float(p.return_param),
+                    inout_param=float(p.inout_param),
+                    max_trials=p.max_rejection_trials,
+                    search_iters=self.search_iters,
+                )
+                chunk_out = np.asarray(jax.block_until_ready(paths))[: hi - lo]
+            out[lo:hi] = chunk_out
+            if checkpoint_dir:
+                save_walk_chunk(checkpoint_dir, c_idx, chunk_out)
         return out
 
 
@@ -232,6 +255,9 @@ def random_walks(
     params: Optional[Node2VecParams] = None,
     seed: int = 0,
     start_vertices: Optional[np.ndarray] = None,
+    checkpoint_dir: Optional[str] = None,
 ) -> np.ndarray:
     """Functional form mirroring reference ``fugue.py:81-155`` ``random_walk``."""
-    return WalkEngine(graph, params or Node2VecParams()).run(seed, start_vertices)
+    return WalkEngine(graph, params or Node2VecParams()).run(
+        seed, start_vertices, checkpoint_dir
+    )

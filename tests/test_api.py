@@ -1,0 +1,120 @@
+"""End-to-end API tests, mirroring the reference integration suite
+(``/root/reference/tests/test_fugue.py`` toy-graph pipeline and
+``tests/test_embedding.py`` save/load matrix)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from node2vec_tpu import Node2Vec, Node2VecBase, random_walk, trim_index
+from node2vec_tpu.embedding import Node2VecTPUEmbedding
+
+
+@pytest.fixture
+def toy_df():
+    # reference test_fugue.py-style 5-vertex graph with string names
+    return pd.DataFrame(
+        {
+            "src": ["a", "a", "b", "b", "c", "d", "b", "c", "d", "e", "e", "f"],
+            "dst": ["b", "c", "c", "d", "e", "e", "a", "a", "b", "c", "d", "a"],
+        }
+    )
+
+
+SMALL_W2V = {"min_count": 1, "vector_size": 32, "max_iter": 2, "batch_walks": 64}
+SMALL_N2V = {"num_walks": 4, "walk_length": 6}
+
+
+def test_node2vec_base_contract():
+    b = Node2VecBase()
+    for call in (b.fit, b.embedding):
+        pytest.raises(NotImplementedError, call)
+    pytest.raises(NotImplementedError, b.get_vector, "x")
+    pytest.raises(NotImplementedError, b.save_model, "p", "m")
+    pytest.raises(NotImplementedError, b.load_model, "p", "m")
+
+
+def test_full_pipeline_named_graph(toy_df):
+    n2v = Node2Vec(n2v_params=SMALL_N2V, w2v_params=SMALL_W2V, random_seed=7)
+    g = n2v.preprocess_input_graph(toy_df, indexed=False, directed=False)
+    assert g.n_vertices == 6
+    walks = n2v.random_walk()
+    assert walks.shape == (6 * 4, 7)
+    n2v.fit()
+    emb = n2v.embedding()
+    assert set(emb.columns) == {"name", "vector"}
+    assert set(emb["name"]) == {"a", "b", "c", "d", "e", "f"}
+    vec = n2v.get_vector("a")
+    assert vec.shape == (32,)
+    np.testing.assert_array_equal(vec, emb[emb.name == "a"].vector.iloc[0])
+
+
+def test_pipeline_stage_order_enforced(toy_df):
+    n2v = Node2Vec(w2v_params=SMALL_W2V)
+    pytest.raises(RuntimeError, n2v.random_walk)
+    pytest.raises(RuntimeError, n2v.fit)
+    pytest.raises(RuntimeError, n2v.embedding)
+    pytest.raises(RuntimeError, n2v.get_vector, "a")
+
+
+def test_model_save_load_roundtrip(toy_df, tmp_path):
+    n2v = Node2Vec(n2v_params=SMALL_N2V, w2v_params=SMALL_W2V, random_seed=7)
+    n2v.preprocess_input_graph(toy_df, indexed=False, directed=False)
+    n2v.random_walk()
+    n2v.fit()
+    n2v.save_model(str(tmp_path), "toy_model")
+
+    n2v2 = Node2Vec(w2v_params=SMALL_W2V)
+    n2v2.load_model(str(tmp_path), "toy_model")
+    emb1 = n2v.embedding().sort_values("name").reset_index(drop=True)
+    emb2 = n2v2.backend.embedding().sort_values("name").reset_index(drop=True)
+    assert list(emb1["name"]) == list(emb2["name"])
+    for v1, v2 in zip(emb1["vector"], emb2["vector"]):
+        np.testing.assert_allclose(v1, v2)
+
+
+def test_vectors_save_load_roundtrip(toy_df, tmp_path):
+    n2v = Node2Vec(n2v_params=SMALL_N2V, w2v_params=SMALL_W2V, random_seed=7)
+    n2v.preprocess_input_graph(toy_df, indexed=False, directed=False)
+    n2v.random_walk()
+    n2v.fit()
+    n2v.save_vectors(str(tmp_path), "vecs.txt")
+    df = n2v.load_vectors(str(tmp_path), "vecs.txt")
+    assert len(df) == 6
+    a_vec = df[df.name == "a"].vector.iloc[0]
+    np.testing.assert_allclose(a_vec, n2v.get_vector("a"), atol=1e-4)
+
+
+def test_trim_index_functional(toy_df):
+    edges, name_id = trim_index(toy_df, indexed=False, directed=False, max_out_deg=2, random_seed=5)
+    assert name_id is not None and len(name_id) == 6
+    assert edges["src"].dtype == np.int32
+    # schema error parity (reference fugue.py:53-54)
+    pytest.raises(ValueError, trim_index, pd.DataFrame({"x": [1]}))
+
+
+def test_random_walk_functional(toy_df):
+    edges, _ = trim_index(toy_df, indexed=False, directed=False)
+    df_walks = random_walk(edges, n2v_params=SMALL_N2V, random_seed=3)
+    assert set(df_walks.columns) == {"src", "walk"}
+    for _, row in df_walks.iterrows():
+        assert row["walk"][0] == row["src"]
+
+
+def test_random_walk_with_seed_vertices(toy_df):
+    edges, _ = trim_index(toy_df, indexed=False, directed=False)
+    seeds = np.array([0, 2], dtype=np.int32)
+    df_walks = random_walk(edges, n2v_params=SMALL_N2V, walk_seed=seeds)
+    assert sorted(set(df_walks["src"])) == [0, 2]
+
+
+def test_embedding_backend_df_walks():
+    df_walks = pd.DataFrame(
+        {"src": [0, 1], "walk": [[0, 1, 2, 1], [1, 2, 0]]}
+    )
+    back = Node2VecTPUEmbedding(df_walks=df_walks, w2v_params=SMALL_W2V)
+    assert back.walks.shape == (2, 4)
+    assert back.walks[1, 3] == -1  # ragged rows padded
+    back.fit()
+    emb = back.embedding()
+    assert len(emb) == 3

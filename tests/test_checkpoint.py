@@ -1,0 +1,72 @@
+"""Checkpoint/resume tests: walk-chunk skip and trainer epoch resume
+(reference analogue: lineage checkpoint every 10 steps, spark.py:597-598,
+and stage-level parquet handoff, examples/native_spark.py:39-61)."""
+
+import os
+
+import numpy as np
+
+from node2vec_tpu.constants import Node2VecParams, Word2VecParams
+from node2vec_tpu.graph import from_edge_arrays
+from node2vec_tpu.models import Word2VecTPU
+from node2vec_tpu.utils.checkpoint import (
+    load_train_state,
+    load_walk_chunks,
+    save_train_state,
+    save_walk_chunk,
+)
+from node2vec_tpu.walk import random_walks
+
+
+def test_walk_chunk_roundtrip(tmp_path):
+    paths = np.arange(12, dtype=np.int32).reshape(3, 4)
+    save_walk_chunk(str(tmp_path), 0, paths)
+    save_walk_chunk(str(tmp_path), 2, paths + 1)
+    chunks = load_walk_chunks(str(tmp_path))
+    assert set(chunks) == {0, 2}
+    np.testing.assert_array_equal(chunks[0], paths)
+    assert load_walk_chunks(None) == {}
+    assert load_walk_chunks(str(tmp_path / "missing")) == {}
+
+
+def test_walk_resume_skips_done_chunks(karate_edges, tmp_path):
+    src, dst = karate_edges
+    g = from_edge_arrays(src, dst, directed=False)
+    params = Node2VecParams(num_walks=4, walk_length=5, walker_chunk=34)
+    ckpt = str(tmp_path / "walks")
+    w1 = random_walks(g, params, seed=9, checkpoint_dir=ckpt)
+    assert len(os.listdir(ckpt)) == 4  # one file per chunk
+    # corrupt one chunk on disk; resume must reuse the others verbatim
+    files = sorted(os.listdir(ckpt))
+    marker = np.load(os.path.join(ckpt, files[1]))["paths"].copy()
+    w2 = random_walks(g, params, seed=9, checkpoint_dir=ckpt)
+    np.testing.assert_array_equal(w1, w2)
+    np.testing.assert_array_equal(marker, np.load(os.path.join(ckpt, files[1]))["paths"])
+
+
+def test_train_state_roundtrip(tmp_path):
+    e_in = np.random.default_rng(0).random((5, 8)).astype(np.float32)
+    save_train_state(str(tmp_path), 3, e_in, e_in * 2, e_in[:, 0], e_in[:, 1])
+    state = load_train_state(str(tmp_path))
+    assert state is not None
+    epoch, a, b, c, d = state
+    assert epoch == 3
+    np.testing.assert_allclose(a, e_in)
+    assert load_train_state(None) is None
+    assert load_train_state(str(tmp_path / "nope")) is None
+
+
+def test_trainer_resumes_from_checkpoint(karate_edges, tmp_path):
+    src, dst = karate_edges
+    g = from_edge_arrays(src, dst, directed=False)
+    walks = random_walks(g, Node2VecParams(num_walks=5, walk_length=8), seed=0)
+    params = Word2VecParams(min_count=1, vector_size=32, max_iter=4, batch_walks=64)
+    ckpt = str(tmp_path / "train")
+
+    # full run with checkpoints
+    m_full = Word2VecTPU(params).fit(walks, checkpoint_dir=ckpt)
+    assert load_train_state(ckpt)[0] == 4
+
+    # resume at max_iter: no further epochs, state comes straight from disk
+    m_resumed = Word2VecTPU(params).fit(walks, checkpoint_dir=ckpt)
+    np.testing.assert_allclose(m_resumed.emb_in, m_full.emb_in)
