@@ -1,0 +1,208 @@
+"""Benchmark: walk throughput + SGNS update throughput on the attached TPU.
+
+Prints ONE JSON line:
+  {"metric": "walk_steps_per_s", "value": ..., "unit": "steps/s/chip",
+   "vs_baseline": ..., ...extras}
+
+``vs_baseline`` is the speedup over the reference's per-walker Python inner
+loop (alias-table build + draw per step, ``/root/reference/node2vec/
+randomwalk.py:300-339``) measured on this host — a *lower bound* on the true
+speedup over the Spark pipeline, since it excludes the reference's per-step
+join/shuffle and JVM<->Python serde costs entirely.
+
+Env knobs: N2V_BENCH_V (vertices), N2V_BENCH_DEG (avg degree),
+N2V_BENCH_WALKS, N2V_BENCH_LEN, N2V_BENCH_DIM, N2V_BENCH_SGNS_STEPS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_er_graph(n_vertices: int, avg_degree: int, seed: int = 0):
+    from node2vec_tpu.graph import from_edge_arrays
+
+    rng = np.random.default_rng(seed)
+    n_edges = n_vertices * avg_degree // 2
+    src = rng.integers(0, n_vertices, n_edges).astype(np.int32)
+    dst = rng.integers(0, n_vertices, n_edges).astype(np.int32)
+    keep = src != dst
+    t0 = time.perf_counter()
+    g = from_edge_arrays(src[keep], dst[keep], n_vertices=n_vertices, directed=False)
+    build_s = time.perf_counter() - t0
+    log(f"graph: V={g.n_vertices} E={g.n_edges} build={build_s:.2f}s")
+    return g, build_s
+
+
+def bench_walks(g, num_walks: int, walk_length: int, p: float, q: float):
+    import jax
+    import jax.numpy as jnp
+
+    from node2vec_tpu.constants import Node2VecParams
+    from node2vec_tpu.walk.engine import WalkEngine, walk_chunk
+
+    params = Node2VecParams(
+        num_walks=num_walks,
+        walk_length=walk_length,
+        return_param=p,
+        inout_param=q,
+        walker_chunk=1 << 17,
+    )
+    engine = WalkEngine(g, params)
+    dg = engine.dgraph
+    chunk = min(params.walker_chunk, g.n_vertices * num_walks)
+    starts = jnp.arange(chunk, dtype=jnp.int32) % g.n_vertices
+
+    def run(key):
+        return walk_chunk(
+            dg.indptr, dg.indices, dg.alias, dg.prob, starts, key,
+            walk_length=walk_length, return_param=p, inout_param=q,
+            max_trials=params.max_rejection_trials,
+            search_iters=engine.search_iters,
+        )
+
+    # warmup/compile
+    t0 = time.perf_counter()
+    paths = jax.block_until_ready(run(jax.random.PRNGKey(0)))
+    compile_s = time.perf_counter() - t0
+    n_reps = 5
+    t0 = time.perf_counter()
+    for i in range(1, n_reps + 1):
+        paths = run(jax.random.fold_in(jax.random.PRNGKey(0), i))
+    paths = jax.block_until_ready(paths)
+    dt = time.perf_counter() - t0
+    steps_done = int((np.asarray(paths) >= 0).sum()) - chunk
+    steps_per_s = steps_done * n_reps / dt
+    log(
+        f"walks(p={p},q={q}): chunk={chunk} compile={compile_s:.1f}s "
+        f"steady {steps_per_s:,.0f} steps/s"
+    )
+    return steps_per_s, np.asarray(paths)
+
+
+def bench_sgns(g, walks: np.ndarray, dim: int, n_steps: int, batch_walks: int):
+    import jax
+    import jax.numpy as jnp
+
+    from node2vec_tpu.models.skipgram import init_embeddings, sgns_train_step
+    from node2vec_tpu.models.vocab import build_vocab
+
+    vocab = build_vocab(walks, g.n_vertices, min_count=1)
+    emb_in, emb_out, acc_in, acc_out = init_embeddings(g.n_vertices, dim, seed=1)
+    ns_alias = jnp.asarray(vocab.ns_alias)
+    ns_prob = jnp.asarray(vocab.ns_prob)
+    mask = jnp.asarray(vocab.mask)
+    window, negatives, shared = 5, 5, 64
+    wb = jnp.asarray(walks[:batch_walks])
+    n_pairs = batch_walks * walks.shape[1] * 2 * window
+
+    def step(state, i):
+        e1, e2, a1, a2 = state
+        return sgns_train_step(
+            e1, e2, a1, a2, wb, jax.random.fold_in(jax.random.PRNGKey(7), i),
+            jnp.float32(0.025), ns_alias, ns_prob, mask,
+            window=window, negatives=negatives, shared_negatives=shared,
+            shrink_window=True,
+        )
+
+    t0 = time.perf_counter()
+    *state, loss = step((emb_in, emb_out, acc_in, acc_out), 0)
+    jax.block_until_ready(loss)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(1, n_steps + 1):
+        *state, loss = step(tuple(state), i)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    pairs_per_s = n_pairs * n_steps / dt
+    log(
+        f"sgns: dim={dim} batch={batch_walks} pairs/step={n_pairs} "
+        f"compile={compile_s:.1f}s steady {pairs_per_s:,.0f} pair-updates/s "
+        f"loss={float(loss):.3f}"
+    )
+    return pairs_per_s
+
+
+def bench_python_reference(g, p: float, q: float, n_samples: int = 2000) -> float:
+    """Reference-style per-walker inner loop: per step, build the second-order
+    alias table from the destination's neighbor list and draw (randomwalk.py:
+    300-339). Single-thread host Python, like a Spark worker task lane."""
+    import random as pyrandom
+
+    from node2vec_tpu.ops.alias import (
+        alias_draw_single,
+        generate_edge_alias_tables,
+    )
+
+    rng = np.random.default_rng(3)
+    vs = rng.integers(0, g.n_vertices, n_samples)
+    t0 = time.perf_counter()
+    done = 0
+    for v in vs:
+        nbrs, wts = g.neighbors(int(v))
+        if len(nbrs) == 0:
+            continue
+        src = int(nbrs[0])
+        src_nbs = set(g.neighbors(src)[0].tolist())
+        alias, probs = generate_edge_alias_tables(
+            src, src_nbs, (nbrs.tolist(), wts.tolist()), p, q
+        )
+        alias_draw_single(alias, probs, pyrandom.random(), pyrandom.random())
+        done += 1
+    dt = time.perf_counter() - t0
+    steps_per_s = done / dt
+    log(f"python reference inner loop: {steps_per_s:,.0f} steps/s (1 core)")
+    return steps_per_s
+
+
+def main() -> None:
+    n_vertices = int(os.environ.get("N2V_BENCH_V", 131072))
+    avg_degree = int(os.environ.get("N2V_BENCH_DEG", 16))
+    num_walks = int(os.environ.get("N2V_BENCH_WALKS", 4))
+    walk_length = int(os.environ.get("N2V_BENCH_LEN", 20))
+    dim = int(os.environ.get("N2V_BENCH_DIM", 128))
+    sgns_steps = int(os.environ.get("N2V_BENCH_SGNS_STEPS", 20))
+    p, q = 0.25, 4.0  # biased walk config (karate/BlogCatalog setting)
+
+    import jax
+
+    backend = jax.default_backend()
+    log(f"backend={backend} devices={jax.devices()}")
+
+    g, build_s = build_er_graph(n_vertices, avg_degree)
+    walk_sps, paths = bench_walks(g, num_walks, walk_length, p, q)
+    uw_sps, _ = bench_walks(g, num_walks, walk_length, 1.0, 1.0)
+    sgns_pps = bench_sgns(g, paths, dim, sgns_steps, batch_walks=2048)
+    py_sps = bench_python_reference(g, p, q)
+
+    result = {
+        "metric": "walk_steps_per_s",
+        "value": round(walk_sps),
+        "unit": "steps/s/chip",
+        "vs_baseline": round(walk_sps / py_sps, 1),
+        "extras": {
+            "backend": backend,
+            "n_vertices": g.n_vertices,
+            "n_edges": g.n_edges,
+            "p": p,
+            "q": q,
+            "unbiased_walk_steps_per_s": round(uw_sps),
+            "sgns_pair_updates_per_s": round(sgns_pps),
+            "python_ref_steps_per_s": round(py_sps),
+            "graph_build_s": round(build_s, 2),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Multi-device walk generation: walkers sharded over the mesh.
+
+Replaces the reference's frontier-shuffle supersteps (``fugue.py:146-150``,
+``spark.py:588-601``): instead of routing walker rows to the partition holding
+their frontier vertex (two cluster shuffles per step), walkers are sharded by
+**walker id** and every shard samples against the graph arrays.  With the
+graph replicated per device (this round's layout) the step needs **zero
+collectives** — each device runs the identical rejection-sampling program on
+its walker slice; per-(walker,step) PRNG keys keep results independent of the
+layout.  Edge-partitioned graphs with ragged frontier all-to-all are the
+planned layout for graphs that exceed one device's HBM (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from node2vec_tpu.walk.engine import walk_chunk_impl
+
+
+@functools.lru_cache(maxsize=16)
+def _build_sharded_walk(
+    mesh: Mesh,
+    walk_length: int,
+    return_param: float,
+    inout_param: float,
+    max_trials: int,
+    search_iters: int,
+    axis_name: str,
+):
+    def shard_fn(indptr, indices, alias, prob, starts_shard, key):
+        # per-shard key: deterministic in the shard's mesh position
+        k = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        return walk_chunk_impl(
+            indptr,
+            indices,
+            alias,
+            prob,
+            starts_shard,
+            k,
+            walk_length=walk_length,
+            return_param=return_param,
+            inout_param=inout_param,
+            max_trials=max_trials,
+            search_iters=search_iters,
+        )
+
+    mapped = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis_name), P()),
+        out_specs=P(axis_name, None),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def sharded_walk_chunk(
+    mesh: Mesh,
+    indptr: jax.Array,
+    indices: jax.Array,
+    alias: jax.Array,
+    prob: jax.Array,
+    starts: jax.Array,
+    key: jax.Array,
+    *,
+    walk_length: int,
+    return_param: float,
+    inout_param: float,
+    max_trials: int = 64,
+    search_iters: int = 32,
+    axis_name: str = "data",
+) -> jax.Array:
+    """Jit-compiled sharded walk: ``starts`` split over ``axis_name``, graph
+    replicated, paths returned with the same walker sharding.
+
+    ``len(starts)`` must divide evenly by the axis size.
+    """
+    fn = _build_sharded_walk(
+        mesh,
+        walk_length,
+        float(return_param),
+        float(inout_param),
+        max_trials,
+        search_iters,
+        axis_name,
+    )
+    return fn(indptr, indices, alias, prob, starts, key)
