@@ -43,12 +43,20 @@ def build_er_graph(n_vertices: int, avg_degree: int, seed: int = 0):
     return g, build_s
 
 
+def _sync(x) -> float:
+    """Force real device completion: scalar readback (block_until_ready can
+    be a no-op through remote-attached backends)."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
 def bench_walks(g, num_walks: int, walk_length: int, p: float, q: float):
     import jax
     import jax.numpy as jnp
 
     from node2vec_tpu.constants import Node2VecParams
-    from node2vec_tpu.walk.engine import WalkEngine, walk_chunk
+    from node2vec_tpu.walk.engine import WalkEngine
 
     params = Node2VecParams(
         num_walks=num_walks,
@@ -58,35 +66,31 @@ def bench_walks(g, num_walks: int, walk_length: int, p: float, q: float):
         walker_chunk=1 << 17,
     )
     engine = WalkEngine(g, params)
-    dg = engine.dgraph
-    chunk = min(params.walker_chunk, g.n_vertices * num_walks)
-    starts = jnp.arange(chunk, dtype=jnp.int32) % g.n_vertices
+    chunk = engine._effective_chunk(g.n_vertices * num_walks)
+    starts = np.arange(chunk, dtype=np.int32) % g.n_vertices
 
-    def run(key):
-        return walk_chunk(
-            dg.indptr, dg.indices, dg.alias, dg.prob, starts, key,
-            walk_length=walk_length, return_param=p, inout_param=q,
-            max_trials=params.max_rejection_trials,
-            search_iters=engine.search_iters,
-        )
+    def run(i):
+        return engine._run_chunk(starts, jax.random.PRNGKey(i))
 
-    # warmup/compile
     t0 = time.perf_counter()
-    paths = jax.block_until_ready(run(jax.random.PRNGKey(0)))
+    _sync(run(0))
     compile_s = time.perf_counter() - t0
-    n_reps = 5
-    t0 = time.perf_counter()
-    for i in range(1, n_reps + 1):
-        paths = run(jax.random.fold_in(jax.random.PRNGKey(0), i))
-    paths = jax.block_until_ready(paths)
-    dt = time.perf_counter() - t0
-    steps_done = int((np.asarray(paths) >= 0).sum()) - chunk
-    steps_per_s = steps_done * n_reps / dt
+    times = []
+    paths = None
+    for i in range(1, 6):
+        t0 = time.perf_counter()
+        paths = run(i)
+        _sync(paths)
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[len(times) // 2]
+    paths_host = np.asarray(paths)
+    steps_done = int((paths_host >= 0).sum()) - chunk
+    steps_per_s = steps_done / med
     log(
-        f"walks(p={p},q={q}): chunk={chunk} compile={compile_s:.1f}s "
-        f"steady {steps_per_s:,.0f} steps/s"
+        f"walks(p={p},q={q}) strategy={engine.strategy}: chunk={chunk} "
+        f"compile={compile_s:.1f}s steady {steps_per_s:,.0f} steps/s"
     )
-    return steps_per_s, np.asarray(paths)
+    return steps_per_s, paths_host
 
 
 def bench_sgns(g, walks: np.ndarray, dim: int, n_steps: int, batch_walks: int):
@@ -116,12 +120,12 @@ def bench_sgns(g, walks: np.ndarray, dim: int, n_steps: int, batch_walks: int):
 
     t0 = time.perf_counter()
     *state, loss = step((emb_in, emb_out, acc_in, acc_out), 0)
-    jax.block_until_ready(loss)
+    float(loss)
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for i in range(1, n_steps + 1):
         *state, loss = step(tuple(state), i)
-    jax.block_until_ready(loss)
+    float(loss)  # scalar readback; depends on every prior step's state
     dt = time.perf_counter() - t0
     pairs_per_s = n_pairs * n_steps / dt
     log(
@@ -174,6 +178,15 @@ def main() -> None:
     p, q = 0.25, 4.0  # biased walk config (karate/BlogCatalog setting)
 
     import jax
+
+    try:  # persistent compile cache: repeat bench runs skip recompilation
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     backend = jax.default_backend()
     log(f"backend={backend} devices={jax.devices()}")

@@ -87,6 +87,12 @@ def walk_chunk_impl(
     inv_p = 1.0 / return_param
     inv_q = 1.0 / inout_param
     alpha_max = max(inv_p, 1.0, inv_q)
+    alpha_min = min(inv_p, 1.0, inv_q)
+    # K proposals per rejection round: amortizes round latency when the
+    # worst-case acceptance rate alpha_min/alpha_max is low. p=q=1 -> K=1
+    # (single always-accepted draw); p=.25/q=4 -> K=8.
+    k_prop_batch = int(min(8, max(1, round((alpha_max / alpha_min) / 2))))
+    n_rounds = max(1, -(-max_trials // k_prop_batch))
 
     alive0 = starts >= 0
     paths0 = jnp.full((n_walkers, walk_length + 1), -1, dtype=jnp.int32)
@@ -105,39 +111,52 @@ def walk_chunk_impl(
         first_order = prev < 0  # step 0: no bias (reference sentinel rule)
 
         safe_deg = jnp.maximum(degree, 1)
+        kb = k_prop_batch
 
         def propose(k):
-            """One alias draw per walker: slot + coin -> neighbor id."""
+            """K alias draws per walker: slot + coin -> neighbor ids [W, K]."""
             k1, k2 = jax.random.split(k)
-            r1 = jax.random.uniform(k1, (n_walkers,))
-            r2 = jax.random.uniform(k2, (n_walkers,))
-            slot = jnp.minimum((r1 * safe_deg).astype(jnp.int32), safe_deg - 1)
-            e = seg_start + slot
+            r1 = jax.random.uniform(k1, (n_walkers, kb))
+            r2 = jax.random.uniform(k2, (n_walkers, kb))
+            deg_b = safe_deg[:, None]
+            slot = jnp.minimum((r1 * deg_b).astype(jnp.int32), deg_b - 1)
+            e = seg_start[:, None] + slot
             j = jnp.where(r2 < prob[e], slot, alias[e])
-            return indices[seg_start + j]
+            return indices[seg_start[:, None] + j]
 
         def cond_fn(state):
-            _, _, accepted, trials = state
-            return (trials < max_trials) & jnp.any(alive & ~accepted)
+            _, _, accepted, rounds = state
+            return (rounds < n_rounds) & jnp.any(alive & ~accepted)
 
         def body_fn(state):
-            key, cand, accepted, trials = state
+            key, cand, accepted, rounds = state
             key, k_prop, k_acc = jax.random.split(key, 3)
-            proposal = propose(k_prop)
-            is_return = proposal == prev
-            is_shared = contains_in_segments(
-                proposal, prev_start, prev_degree, indices, n_iters=search_iters
-            )
-            bias = jnp.where(
-                is_return, inv_p, jnp.where(is_shared, 1.0, inv_q)
-            )
-            bias = jnp.where(first_order, alpha_max, bias)
-            u = jax.random.uniform(k_acc, (n_walkers,))
-            accept_now = u * alpha_max <= bias
-            # unaccepted lanes always track their latest proposal (fallback)
-            cand = jnp.where(accepted, cand, proposal)
-            accepted = accepted | accept_now
-            return key, cand, accepted, trials + 1
+            proposal = propose(k_prop)  # [W, K]
+            if alpha_max == alpha_min:
+                # single bias class (e.g. p=q=1): every proposal is exact
+                accept_now = jnp.ones((n_walkers, kb), dtype=bool)
+            else:
+                is_return = proposal == prev[:, None]
+                is_shared = contains_in_segments(
+                    proposal.reshape(-1),
+                    jnp.broadcast_to(prev_start[:, None], (n_walkers, kb)).reshape(-1),
+                    jnp.broadcast_to(prev_degree[:, None], (n_walkers, kb)).reshape(-1),
+                    indices,
+                    n_iters=search_iters,
+                ).reshape(n_walkers, kb)
+                bias = jnp.where(is_return, inv_p, jnp.where(is_shared, 1.0, inv_q))
+                bias = jnp.where(first_order[:, None], alpha_max, bias)
+                u = jax.random.uniform(k_acc, (n_walkers, kb))
+                accept_now = u * alpha_max <= bias
+            # first accepted proposal this round; else keep the last draw as
+            # the bounded-trials fallback (distribution ∝ weight)
+            first_idx = jnp.argmax(accept_now, axis=1)
+            chosen = jnp.take_along_axis(proposal, first_idx[:, None], axis=1)[:, 0]
+            any_new = accept_now.any(axis=1)
+            fallback = proposal[:, kb - 1]
+            cand = jnp.where(accepted, cand, jnp.where(any_new, chosen, fallback))
+            accepted = accepted | any_new
+            return key, cand, accepted, rounds + 1
 
         key, k_loop = jax.random.split(key)
         init = (
@@ -177,18 +196,85 @@ walk_chunk = jax.jit(
 
 class WalkEngine:
     """Chunked walk driver: replicates each start vertex num_walks times and
-    sweeps fixed-size walker chunks through the jit-compiled step program."""
+    sweeps fixed-size walker chunks through the jit-compiled step program.
 
-    def __init__(self, graph: Union[Graph, DeviceGraph], params: Node2VecParams):
+    Two jit-compiled strategies (selected by ``strategy="auto"``):
+
+    * ``dense`` — padded-adjacency exact sampler (walk.dense); the fast path
+      whenever max degree <= ``dense_max_degree``.
+    * ``csr`` — alias-table rejection sampler over CSR (this module); covers
+      arbitrary degree distributions.
+    """
+
+    def __init__(
+        self,
+        graph: Union[Graph, DeviceGraph],
+        params: Node2VecParams,
+        strategy: str = "auto",
+        dense_max_degree: int = 256,
+    ):
         self.params = params
         self.dgraph = graph.to_device() if isinstance(graph, Graph) else graph
-        max_deg = (
-            int(np.max(np.diff(np.asarray(self.dgraph.indptr))))
-            if self.dgraph.n_vertices
-            else 0
+        host_indptr = (
+            graph.indptr if isinstance(graph, Graph) else np.asarray(graph.indptr)
         )
+        max_deg = int(np.max(np.diff(host_indptr))) if len(host_indptr) > 1 else 0
+        self.max_degree = max_deg
         # binary-search depth: ceil(log2(max_degree)) + 1, min 1
         self.search_iters = max(1, math.ceil(math.log2(max_deg + 1)) + 1)
+        if strategy == "auto":
+            strategy = "dense" if max_deg <= dense_max_degree else "csr"
+        self.strategy = strategy
+        self.pad_nbrs = self.pad_w = None
+        if strategy == "dense":
+            from node2vec_tpu.walk.dense import build_padded_adjacency
+
+            if isinstance(graph, Graph):
+                indptr, indices, weights = graph.indptr, graph.indices, graph.weights
+            else:
+                indptr = np.asarray(graph.indptr)
+                indices = np.asarray(graph.indices)
+                weights = np.asarray(graph.weights)
+            pad_nbrs, pad_w = build_padded_adjacency(indptr, indices, weights)
+            self.pad_nbrs = jnp.asarray(pad_nbrs)
+            self.pad_w = jnp.asarray(pad_w)
+
+    def _effective_chunk(self, n_total: int) -> int:
+        chunk = min(self.params.walker_chunk, max(n_total, 1))
+        if self.strategy == "dense":
+            # bound the [W, P] working set: W * P <= 2^24 elements
+            w_cap = max(1024, (1 << 24) // self.pad_nbrs.shape[1])
+            chunk = min(chunk, w_cap)
+        return chunk
+
+    def _run_chunk(self, chunk_starts: np.ndarray, key) -> jnp.ndarray:
+        p = self.params
+        if self.strategy == "dense":
+            from node2vec_tpu.walk.dense import dense_walk_chunk
+
+            return dense_walk_chunk(
+                self.pad_nbrs,
+                self.pad_w,
+                jnp.asarray(chunk_starts),
+                key,
+                walk_length=p.walk_length,
+                return_param=float(p.return_param),
+                inout_param=float(p.inout_param),
+            )
+        g = self.dgraph
+        return walk_chunk(
+            g.indptr,
+            g.indices,
+            g.alias,
+            g.prob,
+            jnp.asarray(chunk_starts),
+            key,
+            walk_length=p.walk_length,
+            return_param=float(p.return_param),
+            inout_param=float(p.inout_param),
+            max_trials=p.max_rejection_trials,
+            search_iters=self.search_iters,
+        )
 
     def run(
         self,
@@ -215,7 +301,7 @@ class WalkEngine:
             starts_one = np.asarray(start_vertices, dtype=np.int32)
         starts = np.tile(starts_one, p.num_walks)
         n_total = len(starts)
-        chunk = min(p.walker_chunk, max(n_total, 1))
+        chunk = self._effective_chunk(n_total)
 
         done = load_walk_chunks(checkpoint_dir)
         out = np.empty((n_total, p.walk_length + 1), dtype=np.int32)
@@ -230,19 +316,7 @@ class WalkEngine:
             key = jax.random.fold_in(root, c_idx)
             ctx = timer.measure("walk_chunk") if timer is not None else _null_ctx()
             with ctx:
-                paths = walk_chunk(
-                    g.indptr,
-                    g.indices,
-                    g.alias,
-                    g.prob,
-                    jnp.asarray(chunk_starts),
-                    key,
-                    walk_length=p.walk_length,
-                    return_param=float(p.return_param),
-                    inout_param=float(p.inout_param),
-                    max_trials=p.max_rejection_trials,
-                    search_iters=self.search_iters,
-                )
+                paths = self._run_chunk(chunk_starts, key)
                 chunk_out = np.asarray(jax.block_until_ready(paths))[: hi - lo]
             out[lo:hi] = chunk_out
             if checkpoint_dir:

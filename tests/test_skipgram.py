@@ -70,7 +70,8 @@ def test_karate_embedding_quality(karate_edges):
         g, Node2VecParams(num_walks=30, walk_length=15), seed=0
     )
     params = Word2VecParams(
-        min_count=1, vector_size=64, max_iter=8, batch_walks=256, seed=3
+        min_count=1, vector_size=64, max_iter=30, batch_walks=256,
+        step_size=0.05, seed=3,
     )
     model = Word2VecTPU(params).fit(walks, n_vertices=g.n_vertices)
     emb = model.vectors / np.linalg.norm(model.vectors, axis=1, keepdims=True)

@@ -135,6 +135,31 @@ def test_second_order_transition_distribution(p, q):
     assert res.pvalue > 1e-4, (counts, target * counts.sum(), p, q)
 
 
+@pytest.mark.parametrize("strategy", ["dense", "csr"])
+def test_both_strategies_match_analytic_distribution(strategy):
+    """Engine matrix: dense exact sampler and CSR rejection sampler must both
+    reproduce the analytic second-order distribution."""
+    src = np.array([0, 0, 1, 1, 1, 2, 2, 3], dtype=np.int32)
+    dst = np.array([1, 2, 0, 2, 3, 1, 0, 1], dtype=np.int32)
+    w = np.array([1.0, 1.0, 1.0, 2.0, 1.5, 1, 1, 1], dtype=np.float32)
+    g = from_edge_arrays(src, dst, w, directed=True)
+    p, q = 0.5, 2.0
+    params = Node2VecParams(
+        num_walks=6000, walk_length=2, return_param=p, inout_param=q,
+        walker_chunk=1 << 14,
+    )
+    engine = WalkEngine(g, params, strategy=strategy)
+    assert engine.strategy == strategy
+    walks = engine.run(seed=13, start_vertices=np.array([0], dtype=np.int32))
+    took = walks[:, 1] == 1
+    nxt = walks[took, 2]
+    target = np.array([1.0 / p, 2.0, 1.5 / q])
+    target /= target.sum()
+    counts = np.array([(nxt == v).sum() for v in (0, 2, 3)], dtype=np.float64)
+    res = stats.chisquare(counts, target * counts.sum())
+    assert res.pvalue > 1e-4, (strategy, counts, target * counts.sum())
+
+
 def test_isolated_start_dies_immediately():
     src = np.array([0], dtype=np.int32)
     dst = np.array([1], dtype=np.int32)
