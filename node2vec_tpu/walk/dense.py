@@ -3,24 +3,32 @@
 The CSR rejection engine (engine.py) is O(1) per proposal but pays for random
 scalar gathers and a binary-search chain per membership test — access patterns
 TPUs hate.  This engine trades memory for vectorization: neighbor lists are
-stored as a dense ``[V, P]`` matrix (P = next power of two >= max degree,
-sorted rows, INT32_MAX padding, zero weight padding).  A walk step is then:
+stored as one dense ``[V, 2P]`` matrix (P = next power of two >= max degree):
+columns ``[0, P)`` are the sorted neighbor ids (INT32_MAX padding) and columns
+``[P, 2P)`` are the float32 edge weights bitcast to int32 (0.0 padding).
 
-  1. two row gathers ``[W, P]`` (neighborhoods of cur and prev) — the
-     embedding-lookup pattern TPUs do well;
-  2. the node2vec bias for ALL neighbors at once: back-edge mask, shared-
+XLA's TPU gather costs ~constant per ROW fetched (measured ~20ns/row on v5e,
+independent of row width up to ~512B), so the design minimizes row fetches:
+
+  1. ONE packed row gather ``[W, 2P]`` per step fetches a walker's frontier
+     neighborhood ids+weights together;
+  2. the previous neighborhood (needed for the p/q shared-neighbor test) is
+     **carried in registers from the previous step** — it was the frontier
+     row one step ago, so it is never re-gathered;
+  3. the node2vec bias for ALL neighbors at once: back-edge mask + shared-
      neighbor mask via an all-pairs lane compare ``[W, P, P]`` (XLA fuses the
-     reduction; pure VPU work, no gathers);
-  3. **exact** inverse-CDF sampling over the biased weights: cumsum along P,
+     reduction; pure VPU work);
+  4. **exact** inverse-CDF sampling over the biased weights: cumsum along P,
      one uniform, count-compare, one-hot select.
 
-No rejection loop, no approximation, no scalar gathers.  Cost is O(P²) VPU
-ops per walker-step, so this engine is selected when max degree <= a cap
-(default 256; hotspot trimming usually guarantees far less) and the CSR
+No rejection loop, no approximation, one row gather per walker-step.  Cost is
+O(P²) VPU ops per walker-step, so this engine is selected when max degree <=
+a cap (default 256; hotspot trimming usually guarantees far less) and the CSR
 engine remains the fallback for heavy-tailed graphs.
 
 Semantics identical to the reference walk (SURVEY.md §2.6): first-order step
-0, sink death, p/q bias classes per ``randomwalk.py:218-231``.
+0 (``randomwalk.py:320-321``), sink death, p/q bias classes per
+``randomwalk.py:218-231``.
 """
 
 from __future__ import annotations
@@ -37,28 +45,28 @@ PAD_ID = np.int32(np.iinfo(np.int32).max)  # keeps rows sorted; never equals a r
 
 def build_padded_adjacency(
     indptr: np.ndarray, indices: np.ndarray, weights: np.ndarray
-) -> Tuple[np.ndarray, np.ndarray]:
-    """CSR -> dense [V, P] (ids, weights); P = next pow2 >= max degree (min 8)."""
+) -> np.ndarray:
+    """CSR -> packed dense [V, 2P] int32 (ids | bitcast weights); P = next
+    pow2 >= max degree (min 8)."""
     degrees = np.diff(indptr)
     max_deg = int(degrees.max()) if len(degrees) else 0
     p = 8
     while p < max_deg:
         p *= 2
     n_vertices = len(indptr) - 1
-    pad_nbrs = np.full((n_vertices, p), PAD_ID, dtype=np.int32)
-    pad_w = np.zeros((n_vertices, p), dtype=np.float32)
-    # vectorized fill: position of each CSR entry within its row
+    packed = np.empty((n_vertices, 2 * p), dtype=np.int32)
+    packed[:, :p] = PAD_ID
+    packed[:, p:] = np.float32(0.0).view(np.int32)
     if len(indices):
         row = np.repeat(np.arange(n_vertices), degrees)
         col = np.arange(len(indices)) - np.repeat(indptr[:-1], degrees)
-        pad_nbrs[row, col] = indices
-        pad_w[row, col] = weights
-    return pad_nbrs, pad_w
+        packed[row, col] = indices
+        packed[row, p + col] = np.asarray(weights, dtype=np.float32).view(np.int32)
+    return packed
 
 
 def dense_walk_chunk_impl(
-    pad_nbrs: jax.Array,  # [V, P] int32, sorted rows, PAD_ID padding
-    pad_w: jax.Array,  # [V, P] f32, 0 padding
+    packed_adj: jax.Array,  # [V, 2P] int32: sorted ids | bitcast f32 weights
     starts: jax.Array,  # [W] int32, negative = dead lane
     key: jax.Array,
     *,
@@ -68,7 +76,7 @@ def dense_walk_chunk_impl(
 ) -> jax.Array:
     """Exact biased walks; returns [W, walk_length+1] int32 (-1 padded)."""
     n_walkers = starts.shape[0]
-    p_cols = pad_nbrs.shape[1]
+    p_cols = packed_adj.shape[1] // 2
     inv_p = jnp.float32(1.0 / return_param)
     inv_q = jnp.float32(1.0 / inout_param)
     uniform_bias = return_param == 1.0 and inout_param == 1.0
@@ -79,17 +87,16 @@ def dense_walk_chunk_impl(
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (n_walkers, p_cols), 1)
 
     def one_step(t, carry):
-        paths, cur, prev, alive, key = carry
+        paths, cur, prev, prev_rows, alive, key = carry
         cur_safe = jnp.where(alive, cur, 0)
-        rows = pad_nbrs[cur_safe]  # [W, P]
-        wts = pad_w[cur_safe]
+        packed = packed_adj[cur_safe]  # [W, 2P] — the ONE row gather per step
+        rows = packed[:, :p_cols]
+        wts = jax.lax.bitcast_convert_type(packed[:, p_cols:], jnp.float32)
 
         if uniform_bias:
             bw = wts
         else:
             first_order = prev < 0
-            prev_safe = jnp.where(first_order, 0, prev)
-            prev_rows = pad_nbrs[prev_safe]  # [W, P]
             back = rows == prev[:, None]
             shared = (rows[:, :, None] == prev_rows[:, None, :]).any(-1)
             bias = jnp.where(back, inv_p, jnp.where(shared, 1.0, inv_q))
@@ -114,12 +121,15 @@ def dense_walk_chunk_impl(
         )
         prev = jnp.where(alive, cur, prev)
         cur = jnp.where(alive, nxt, cur)
-        return paths, cur, prev, alive, key
+        # the freshly gathered frontier row becomes next step's N(prev)
+        prev_rows = jnp.where(alive[:, None], rows, prev_rows)
+        return paths, cur, prev, prev_rows, alive, key
 
     prev0 = jnp.full((n_walkers,), -1, dtype=jnp.int32)
     cur0 = jnp.where(alive0, starts, 0)
-    paths, _, _, _, _ = jax.lax.fori_loop(
-        0, walk_length, one_step, (paths0, cur0, prev0, alive0, key)
+    prev_rows0 = jnp.full((n_walkers, p_cols), PAD_ID, dtype=jnp.int32)
+    paths, *_ = jax.lax.fori_loop(
+        0, walk_length, one_step, (paths0, cur0, prev0, prev_rows0, alive0, key)
     )
     return paths
 

@@ -225,7 +225,7 @@ class WalkEngine:
         if strategy == "auto":
             strategy = "dense" if max_deg <= dense_max_degree else "csr"
         self.strategy = strategy
-        self.pad_nbrs = self.pad_w = None
+        self.packed_adj = None
         if strategy == "dense":
             from node2vec_tpu.walk.dense import build_padded_adjacency
 
@@ -235,15 +235,15 @@ class WalkEngine:
                 indptr = np.asarray(graph.indptr)
                 indices = np.asarray(graph.indices)
                 weights = np.asarray(graph.weights)
-            pad_nbrs, pad_w = build_padded_adjacency(indptr, indices, weights)
-            self.pad_nbrs = jnp.asarray(pad_nbrs)
-            self.pad_w = jnp.asarray(pad_w)
+            self.packed_adj = jnp.asarray(
+                build_padded_adjacency(indptr, indices, weights)
+            )
 
     def _effective_chunk(self, n_total: int) -> int:
         chunk = min(self.params.walker_chunk, max(n_total, 1))
         if self.strategy == "dense":
             # bound the [W, P] working set: W * P <= 2^24 elements
-            w_cap = max(1024, (1 << 24) // self.pad_nbrs.shape[1])
+            w_cap = max(1024, (1 << 25) // self.packed_adj.shape[1])
             chunk = min(chunk, w_cap)
         return chunk
 
@@ -253,8 +253,7 @@ class WalkEngine:
             from node2vec_tpu.walk.dense import dense_walk_chunk
 
             return dense_walk_chunk(
-                self.pad_nbrs,
-                self.pad_w,
+                self.packed_adj,
                 jnp.asarray(chunk_starts),
                 key,
                 walk_length=p.walk_length,
@@ -305,7 +304,9 @@ class WalkEngine:
 
         done = load_walk_chunks(checkpoint_dir)
         out = np.empty((n_total, p.walk_length + 1), dtype=np.int32)
-        root = jax.random.PRNGKey(seed)
+        # rbg PRNG: ~5x cheaper per draw than the default threefry on TPU;
+        # walks only need statistical (not cryptographic) quality
+        root = jax.random.key(seed, impl="rbg")
         for c_idx, lo in enumerate(range(0, n_total, chunk)):
             hi = min(lo + chunk, n_total)
             if c_idx in done and done[c_idx].shape == (hi - lo, p.walk_length + 1):
