@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from node2vec_tpu.constants import Word2VecParams
-from node2vec_tpu.models.skipgram import init_embeddings, sgns_train_step
+from node2vec_tpu.models.skipgram import init_embeddings, sgns_corpus_step
 from node2vec_tpu.models.vocab import Vocabulary, build_vocab
 
 logger = logging.getLogger(__name__)
@@ -86,19 +86,21 @@ class Word2VecTPU:
         batch = min(p.batch_walks, n_walks)
         n_batches = (n_walks + batch - 1) // batch
         total_steps = max(p.max_iter * n_batches, 1)
-        rng = np.random.default_rng(p.seed)
         root_key = jax.random.PRNGKey(p.seed)
+
+        # device-resident corpus, padded to whole batches; per-epoch shuffle
+        # happens on device too — the training loop transfers only scalars
+        n_padded = n_batches * batch
+        corpus = np.full((n_padded, walks.shape[1]), -1, dtype=np.int32)
+        corpus[:n_walks] = walks
+        corpus = jnp.asarray(corpus)
 
         self._losses = []
         step = start_epoch * n_batches
         for epoch in range(start_epoch, p.max_iter):
-            order = rng.permutation(n_walks)
+            k_shuffle = jax.random.fold_in(root_key, 1_000_000 + epoch)
+            shuffled = corpus[jax.random.permutation(k_shuffle, n_padded)]
             for b in range(n_batches):
-                idx = order[b * batch : (b + 1) * batch]
-                wb = walks[idx]
-                if len(wb) < batch:  # pad final batch to the static shape
-                    pad = np.full((batch - len(wb), walks.shape[1]), -1, np.int32)
-                    wb = np.concatenate([wb, pad])
                 lr = max(
                     p.step_size * (1.0 - step / total_steps), p.min_step_size
                 )
@@ -106,24 +108,26 @@ class Word2VecTPU:
                 ctx = timer.measure("sgns_step") if timer is not None else None
                 if ctx is not None:
                     ctx.__enter__()
-                emb_in, emb_out, acc_in, acc_out, loss = sgns_train_step(
+                emb_in, emb_out, acc_in, acc_out, loss = sgns_corpus_step(
                     emb_in,
                     emb_out,
                     acc_in,
                     acc_out,
-                    jnp.asarray(wb),
+                    shuffled,
+                    jnp.int32(b * batch),
                     key,
                     jnp.float32(lr),
                     ns_alias,
                     ns_prob,
                     vocab_mask,
+                    batch=batch,
                     window=p.window_size,
                     negatives=p.negative,
                     shared_negatives=self.shared_negatives,
                     shrink_window=p.shrink_window,
                 )
                 if ctx is not None:
-                    loss.block_until_ready()
+                    float(loss)
                     ctx.__exit__(None, None, None)
                 step += 1
             epoch_loss = float(loss)
