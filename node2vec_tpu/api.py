@@ -105,6 +105,27 @@ class Node2Vec:
         logger.info("random walks done: %s", self.walks.shape)
         return self.walks
 
+    def run_pipeline(self, verbose: bool = False) -> Word2VecTPU:
+        """walks + training without the corpus ever leaving the device.
+
+        Equivalent to random_walk() followed by fit(), minus the host
+        round-trip of the walk corpus (the reference cannot avoid it: gensim
+        pulls the whole corpus into driver RAM, embedding.py:125).
+        """
+        if self.graph is None:
+            raise RuntimeError("call preprocess_input_graph() first")
+        engine = WalkEngine(self.graph, self.n2v_params)
+        walks_dev = engine.run_device(
+            seed=self.random_seed, start_vertices=self.walk_seed_vertices
+        )
+        name_id = self.graph.names if self.graph.names is not None else None
+        self.backend = Node2VecTPUEmbedding(name_id=name_id, w2v_params=self.w2v_params)
+        self.backend.model.fit(
+            walks_dev, n_vertices=self.graph.n_vertices, verbose=verbose
+        )
+        self.walks = np.asarray(walks_dev)
+        return self.backend.model
+
     def fit(self, verbose: bool = False) -> Word2VecTPU:
         """Train embeddings over the walks (reference spark.py:616-631)."""
         if self.walks is None:

@@ -32,6 +32,33 @@ class Vocabulary:
         return int(self.mask.sum())
 
 
+def build_vocab_from_counts(
+    counts: np.ndarray,
+    min_count: int = 1,
+    ns_exponent: float = 0.75,
+) -> Vocabulary:
+    """Vocabulary from a precomputed count vector (host or device-derived)."""
+    from node2vec_tpu.ops.alias import build_alias_csr
+
+    counts = np.asarray(counts, dtype=np.int64)
+    n_vertices = len(counts)
+    mask = counts >= max(min_count, 1)
+
+    noise = counts.astype(np.float64) ** ns_exponent
+    noise[~mask] = 0.0
+    if noise.sum() == 0:
+        # degenerate corpus: uniform noise so sampling stays well-defined
+        noise = np.ones(max(n_vertices, 1), dtype=np.float64)
+    indptr = np.array([0, max(n_vertices, 1)], dtype=np.int64)
+    ns_alias, ns_prob = build_alias_csr(indptr, noise.astype(np.float32))
+    return Vocabulary(
+        counts=counts,
+        mask=mask,
+        ns_alias=ns_alias.astype(np.int32),
+        ns_prob=ns_prob.astype(np.float32),
+    )
+
+
 def build_vocab(
     walks: np.ndarray,
     n_vertices: Optional[int] = None,
@@ -40,29 +67,27 @@ def build_vocab(
 ) -> Vocabulary:
     """Count vertices over the walk corpus and build the noise alias table.
 
-    ``walks`` is int32 [N, L+1] with -1 padding. Vertices below ``min_count``
-    are masked out of training and excluded from the noise distribution
-    (gensim behavior: they are simply not in the vocab).
+    ``walks`` is int32 [N, L+1] with -1 padding (numpy, or a jax array —
+    counted on device). Vertices below ``min_count`` are masked out of
+    training and excluded from the noise distribution (gensim behavior:
+    they are simply not in the vocab).
     """
-    from node2vec_tpu.ops.alias import build_alias_csr
+    if not isinstance(walks, np.ndarray):  # device array: count on device
+        import jax.numpy as jnp
+
+        if n_vertices is None:
+            n_vertices = int(jnp.max(walks)) + 1
+        flat = walks.reshape(-1)
+        counts = np.asarray(
+            jnp.zeros((n_vertices,), jnp.int32)
+            .at[jnp.where(flat >= 0, flat, 0)]
+            .add((flat >= 0).astype(jnp.int32))
+        )
+        return build_vocab_from_counts(counts, min_count, ns_exponent)
 
     flat = walks.reshape(-1)
     flat = flat[flat >= 0]
     if n_vertices is None:
         n_vertices = int(flat.max()) + 1 if len(flat) else 0
     counts = np.bincount(flat, minlength=n_vertices).astype(np.int64)
-    mask = counts >= max(min_count, 1)
-
-    noise = counts.astype(np.float64) ** ns_exponent
-    noise[~mask] = 0.0
-    if noise.sum() == 0:
-        # degenerate corpus: uniform noise so sampling stays well-defined
-        noise = np.ones(max(n_vertices, 1), dtype=np.float64)
-    indptr = np.array([0, n_vertices], dtype=np.int64)
-    ns_alias, ns_prob = build_alias_csr(indptr, noise.astype(np.float32))
-    return Vocabulary(
-        counts=counts,
-        mask=mask,
-        ns_alias=ns_alias.astype(np.int32),
-        ns_prob=ns_prob.astype(np.float32),
-    )
+    return build_vocab_from_counts(counts, min_count, ns_exponent)

@@ -56,7 +56,9 @@ class Word2VecTPU:
         from node2vec_tpu.utils.checkpoint import load_train_state, save_train_state
 
         p = self.params
-        walks = np.asarray(walks, dtype=np.int32)
+        is_device = not isinstance(walks, np.ndarray)
+        if not is_device:
+            walks = np.asarray(walks, dtype=np.int32)
         self.vocab = build_vocab(
             walks, n_vertices, min_count=p.min_count, ns_exponent=p.ns_exponent
         )
@@ -89,11 +91,19 @@ class Word2VecTPU:
         root_key = jax.random.PRNGKey(p.seed)
 
         # device-resident corpus, padded to whole batches; per-epoch shuffle
-        # happens on device too — the training loop transfers only scalars
+        # happens on device too — the training loop transfers only scalars.
+        # Walks handed over as device arrays (e.g. straight from the walk
+        # engine) never round-trip through the host at all.
         n_padded = n_batches * batch
-        corpus = np.full((n_padded, walks.shape[1]), -1, dtype=np.int32)
-        corpus[:n_walks] = walks
-        corpus = jnp.asarray(corpus)
+        if is_device:
+            corpus = walks.astype(jnp.int32)
+            if n_padded > n_walks:
+                pad = jnp.full((n_padded - n_walks, walks.shape[1]), -1, jnp.int32)
+                corpus = jnp.concatenate([corpus, pad])
+        else:
+            corpus_host = np.full((n_padded, walks.shape[1]), -1, dtype=np.int32)
+            corpus_host[:n_walks] = walks
+            corpus = jnp.asarray(corpus_host)
 
         self._losses = []
         step = start_epoch * n_batches

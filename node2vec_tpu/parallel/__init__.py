@@ -1,11 +1,15 @@
 from node2vec_tpu.parallel.mesh import make_mesh, MeshConfig
-from node2vec_tpu.parallel.sharded_walk import sharded_walk_chunk
+from node2vec_tpu.parallel.sharded_walk import (
+    sharded_walk_chunk,
+    sharded_dense_walk_chunk,
+)
 from node2vec_tpu.parallel.sharded_sgns import sharded_sgns_step, ShardedSGNSState
 
 __all__ = [
     "make_mesh",
     "MeshConfig",
     "sharded_walk_chunk",
+    "sharded_dense_walk_chunk",
     "sharded_sgns_step",
     "ShardedSGNSState",
 ]

@@ -56,3 +56,33 @@ def make_mesh(
         )
     grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, axis_names)
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize`` wrapper.
+
+    On a multi-host TPU slice call this once per host before building meshes;
+    with no arguments JAX autodetects the TPU pod topology.  The reference's
+    multi-host story is the Spark cluster manager (external, SURVEY.md L0) —
+    here it is one function call and the same mesh API afterwards.
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        # single-process environment: nothing to do
+        pass

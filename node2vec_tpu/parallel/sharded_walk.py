@@ -25,6 +25,56 @@ from node2vec_tpu.walk.engine import walk_chunk_impl
 
 
 @functools.lru_cache(maxsize=16)
+def _build_sharded_dense_walk(
+    mesh: Mesh,
+    walk_length: int,
+    return_param: float,
+    inout_param: float,
+    axis_name: str,
+):
+    from node2vec_tpu.walk.dense import dense_walk_chunk_impl
+
+    def shard_fn(packed_adj, starts_shard, key):
+        k = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        return dense_walk_chunk_impl(
+            packed_adj,
+            starts_shard,
+            k,
+            walk_length=walk_length,
+            return_param=return_param,
+            inout_param=inout_param,
+        )
+
+    mapped = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P()),
+        out_specs=P(axis_name, None),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def sharded_dense_walk_chunk(
+    mesh: Mesh,
+    packed_adj: jax.Array,
+    starts: jax.Array,
+    key: jax.Array,
+    *,
+    walk_length: int,
+    return_param: float,
+    inout_param: float,
+    axis_name: str = "data",
+) -> jax.Array:
+    """Dense-engine sharded walk: walkers over ``axis_name``, packed adjacency
+    replicated per device."""
+    fn = _build_sharded_dense_walk(
+        mesh, walk_length, float(return_param), float(inout_param), axis_name
+    )
+    return fn(packed_adj, starts, key)
+
+
+@functools.lru_cache(maxsize=16)
 def _build_sharded_walk(
     mesh: Mesh,
     walk_length: int,

@@ -325,6 +325,34 @@ class WalkEngine:
         return out
 
 
+    def run_device(
+        self,
+        seed: int = 0,
+        start_vertices: Optional[np.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Like run(), but the walk corpus STAYS on device (jnp array) —
+        feed it straight into Word2VecTPU.fit for a host-free pipeline."""
+        p = self.params
+        g = self.dgraph
+        if start_vertices is None:
+            starts_one = np.arange(g.n_vertices, dtype=np.int32)
+        else:
+            starts_one = np.asarray(start_vertices, dtype=np.int32)
+        starts = np.tile(starts_one, p.num_walks)
+        n_total = len(starts)
+        chunk = self._effective_chunk(n_total)
+
+        root = jax.random.key(seed, impl="rbg")
+        parts = []
+        for c_idx, lo in enumerate(range(0, n_total, chunk)):
+            hi = min(lo + chunk, n_total)
+            chunk_starts = np.full(chunk, -1, dtype=np.int32)
+            chunk_starts[: hi - lo] = starts[lo:hi]
+            key = jax.random.fold_in(root, c_idx)
+            parts.append(self._run_chunk(chunk_starts, key)[: hi - lo])
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+
 def random_walks(
     graph: Union[Graph, DeviceGraph],
     params: Optional[Node2VecParams] = None,

@@ -108,6 +108,18 @@ def test_random_walk_with_seed_vertices(toy_df):
     assert sorted(set(df_walks["src"])) == [0, 2]
 
 
+def test_run_pipeline_device_resident(toy_df):
+    """run_pipeline must match the staged random_walk()+fit() quality path."""
+    n2v = Node2Vec(n2v_params=SMALL_N2V, w2v_params=SMALL_W2V, random_seed=7)
+    n2v.preprocess_input_graph(toy_df, indexed=False, directed=False)
+    model = n2v.run_pipeline()
+    assert model.vectors.shape == (6, 32)
+    assert np.isfinite(model.vectors).all()
+    assert n2v.walks.shape == (6 * SMALL_N2V["num_walks"], SMALL_N2V["walk_length"] + 1)
+    emb = n2v.embedding()
+    assert len(emb) == 6
+
+
 def test_embedding_backend_df_walks():
     df_walks = pd.DataFrame(
         {"src": [0, 1], "walk": [[0, 1, 2, 1], [1, 2, 0]]}

@@ -78,6 +78,28 @@ def test_sharded_walks_shards_differ(mesh_flat, karate_edges):
     assert len({tuple(r) for r in paths}) > 8
 
 
+def test_sharded_dense_walks_valid(mesh_flat, karate_edges):
+    from node2vec_tpu.parallel import sharded_dense_walk_chunk
+    from node2vec_tpu.walk.engine import WalkEngine
+
+    src, dst = karate_edges
+    g = from_edge_arrays(src, dst, directed=False)
+    engine = WalkEngine(g, Node2VecParams(walk_length=6))
+    starts = jnp.arange(32, dtype=jnp.int32)
+    paths = np.asarray(
+        sharded_dense_walk_chunk(
+            mesh_flat, engine.packed_adj, starts, jax.random.PRNGKey(1),
+            walk_length=6, return_param=0.25, inout_param=4.0,
+        )
+    )
+    assert paths.shape == (32, 7)
+    adj = {v: set(g.neighbors(v)[0].tolist()) for v in range(g.n_vertices)}
+    for row in paths:
+        for a, b in zip(row[:-1], row[1:]):
+            if a >= 0 and b >= 0:
+                assert b in adj[int(a)]
+
+
 def test_sharded_sgns_matches_single_device_semantics(mesh8, karate_edges):
     """TP×DP step must produce finite decreasing loss and keep replicas synced."""
     src, dst = karate_edges

@@ -160,6 +160,24 @@ def test_both_strategies_match_analytic_distribution(strategy):
     assert res.pvalue > 1e-4, (strategy, counts, target * counts.sum())
 
 
+def test_heavy_tail_auto_selects_csr_engine():
+    """A hub vertex above the dense cap must route to the CSR rejection
+    engine automatically, end to end."""
+    hub_degree = 300
+    src = np.concatenate([np.zeros(hub_degree, np.int32),
+                          np.arange(1, hub_degree + 1, dtype=np.int32)])
+    dst = np.concatenate([np.arange(1, hub_degree + 1, dtype=np.int32),
+                          np.zeros(hub_degree, np.int32)])
+    g = from_edge_arrays(src, dst, directed=True)
+    params = Node2VecParams(num_walks=2, walk_length=5,
+                            return_param=0.5, inout_param=2.0)
+    engine = WalkEngine(g, params)
+    assert engine.strategy == "csr"
+    walks = engine.run(seed=1)
+    assert walks.shape == (2 * (hub_degree + 1), 6)
+    _edges_valid(g, walks)
+
+
 def test_isolated_start_dies_immediately():
     src = np.array([0], dtype=np.int32)
     dst = np.array([1], dtype=np.int32)
