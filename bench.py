@@ -97,7 +97,7 @@ def bench_sgns(g, walks: np.ndarray, dim: int, n_steps: int, batch_walks: int):
     import jax
     import jax.numpy as jnp
 
-    from node2vec_tpu.models.skipgram import init_embeddings, sgns_train_step
+    from node2vec_tpu.models.skipgram import init_embeddings, sgns_walk_step
     from node2vec_tpu.models.vocab import build_vocab
 
     vocab = build_vocab(walks, g.n_vertices, min_count=1)
@@ -111,7 +111,7 @@ def bench_sgns(g, walks: np.ndarray, dim: int, n_steps: int, batch_walks: int):
 
     def step(state, i):
         e1, e2, a1, a2 = state
-        return sgns_train_step(
+        return sgns_walk_step(
             e1, e2, a1, a2, wb, jax.random.fold_in(jax.random.PRNGKey(7), i),
             jnp.float32(0.025), ns_alias, ns_prob, mask,
             window=window, negatives=negatives, shared_negatives=shared,
