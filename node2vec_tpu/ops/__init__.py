@@ -4,6 +4,7 @@ from node2vec_tpu.ops.alias import (
     build_alias_csr,
     alias_draw,
     alias_draw_single,
+    alias_draw_single_wiki,
 )
 from node2vec_tpu.ops.sampling import (
     searchsorted_in_segments,
@@ -16,6 +17,7 @@ __all__ = [
     "build_alias_csr",
     "alias_draw",
     "alias_draw_single",
+    "alias_draw_single_wiki",
     "searchsorted_in_segments",
     "contains_in_segments",
 ]

@@ -150,6 +150,18 @@ def alias_draw_single(
     return i if r2 < probs[i] else int(alias[i])
 
 
+def alias_draw_single_wiki(
+    alias: Sequence[int], probs: Sequence[float], r: float
+) -> int:
+    """One-uniform alias draw, matching reference ``randomwalk.py:70-84``:
+    split r*n into slot (integer part) and coin (fractional part)."""
+    n = len(alias)
+    scaled = r * n
+    i = min(int(scaled), n - 1)
+    frac = scaled - i
+    return i if frac < probs[i] else int(alias[i])
+
+
 def alias_draw(
     key: jax.Array,
     start: jax.Array,

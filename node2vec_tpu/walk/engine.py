@@ -40,7 +40,9 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import logging
 import math
+import time
 from typing import Optional, Union
 
 import numpy as np
@@ -51,6 +53,9 @@ import jax.numpy as jnp
 from node2vec_tpu.constants import Node2VecParams
 from node2vec_tpu.graph.csr import DeviceGraph, Graph
 from node2vec_tpu.ops.sampling import contains_in_segments
+
+
+logger = logging.getLogger(__name__)
 
 
 @contextlib.contextmanager
@@ -316,9 +321,16 @@ class WalkEngine:
             chunk_starts[: hi - lo] = starts[lo:hi]
             key = jax.random.fold_in(root, c_idx)
             ctx = timer.measure("walk_chunk") if timer is not None else _null_ctx()
+            t0 = time.perf_counter()
             with ctx:
                 paths = self._run_chunk(chunk_starts, key)
                 chunk_out = np.asarray(jax.block_until_ready(paths))[: hi - lo]
+            dt = time.perf_counter() - t0
+            steps = int((chunk_out >= 0).sum()) - (hi - lo)
+            logger.info(
+                "walk chunk %d [%d:%d] strategy=%s %.2fs (%.0f steps/s)",
+                c_idx, lo, hi, self.strategy, dt, steps / dt if dt > 0 else 0,
+            )
             out[lo:hi] = chunk_out
             if checkpoint_dir:
                 save_walk_chunk(checkpoint_dir, c_idx, chunk_out)

@@ -78,6 +78,29 @@ def test_bulk_alias_matches_reference_algorithm():
         np.testing.assert_allclose(prob_np[lo:hi], ref_prob, rtol=1e-5)
 
 
+def test_alias_draw_single_wiki():
+    from node2vec_tpu.ops.alias import alias_draw_single_wiki
+
+    alias, probs = generate_alias_tables([0.5, 0.8, 1.0])
+    # r=0.5 -> scaled 1.5 -> slot 1, frac 0.5 < probs[1]=1.0 keeps slot
+    assert alias_draw_single_wiki(alias, probs, 0.5) == 1
+    # r=0.99 -> slot 2, frac 0.97 > probs[2]=0.9565 -> alias[2] == 1
+    assert alias_draw_single_wiki(alias, probs, 0.99) == 1
+    # empirical distribution matches weights
+    import random
+
+    random.seed(20)
+    counts = [0, 0, 0]
+    n = 30000
+    for _ in range(n):
+        counts[alias_draw_single_wiki(alias, probs, random.random())] += 1
+    w = np.array([0.5, 0.8, 1.0])
+    from scipy import stats
+
+    res = stats.chisquare(counts, w / w.sum() * n)
+    assert res.pvalue > 1e-4, counts
+
+
 def test_alias_draw_single_matches_table():
     alias, probs = generate_alias_tables([0.5, 0.8, 1.0])
     # r1 picks slot 1; r2=0.5 < probs[1]=1.0 keeps it
