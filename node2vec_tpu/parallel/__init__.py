@@ -4,6 +4,10 @@ from node2vec_tpu.parallel.sharded_walk import (
     sharded_dense_walk_chunk,
 )
 from node2vec_tpu.parallel.sharded_sgns import sharded_sgns_step, ShardedSGNSState
+from node2vec_tpu.parallel.edge_partitioned import (
+    edge_partitioned_walk,
+    partition_packed_adjacency,
+)
 
 __all__ = [
     "make_mesh",
@@ -12,4 +16,6 @@ __all__ = [
     "sharded_dense_walk_chunk",
     "sharded_sgns_step",
     "ShardedSGNSState",
+    "edge_partitioned_walk",
+    "partition_packed_adjacency",
 ]
