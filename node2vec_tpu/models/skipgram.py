@@ -330,5 +330,50 @@ sgns_corpus_step = functools.partial(
 )(_sgns_corpus_step_impl)
 
 
+def _sgns_epoch_impl(
+    emb_in, emb_out, acc_in, acc_out, corpus, key, step0, lr0, lr_slope,
+    ns_alias, ns_prob, vocab_mask, *,
+    batch: int, n_batches: int, window: int, negatives: int,
+    shared_negatives: int, shrink_window: bool, min_lr: float,
+):
+    """A whole epoch of SGNS steps inside ONE jit program (lax.scan).
+
+    Removes per-step host dispatch entirely: the corpus must already be
+    shuffled on device; lr decays linearly on device as
+    max(lr0 - lr_slope * global_step, min_lr).
+    """
+
+    def body(state, b):
+        emb_in, emb_out, acc_in, acc_out = state
+        gstep = step0 + b
+        lr = jnp.maximum(lr0 - lr_slope * gstep.astype(jnp.float32), min_lr)
+        wb = jax.lax.dynamic_slice_in_dim(corpus, b * batch, batch, axis=0)
+        emb_in, emb_out, acc_in, acc_out, loss = sgns_walk_step_impl(
+            emb_in, emb_out, acc_in, acc_out, wb,
+            jax.random.fold_in(key, gstep), lr,
+            ns_alias, ns_prob, vocab_mask,
+            window=window, negatives=negatives,
+            shared_negatives=shared_negatives, shrink_window=shrink_window,
+        )
+        return (emb_in, emb_out, acc_in, acc_out), loss
+
+    state, losses = jax.lax.scan(
+        body,
+        (emb_in, emb_out, acc_in, acc_out),
+        jnp.arange(n_batches, dtype=jnp.int32),
+    )
+    return (*state, losses)
+
+
+sgns_epoch = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "batch", "n_batches", "window", "negatives", "shared_negatives",
+        "shrink_window", "min_lr",
+    ),
+    donate_argnames=("emb_in", "emb_out", "acc_in", "acc_out"),
+)(_sgns_epoch_impl)
+
+
 def pairs_per_batch(n_walks: int, walk_length: int, window: int) -> int:
     return n_walks * (walk_length + 1) * 2 * window

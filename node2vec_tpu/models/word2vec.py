@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from node2vec_tpu.constants import Word2VecParams
-from node2vec_tpu.models.skipgram import init_embeddings, sgns_corpus_step
+from node2vec_tpu.models.skipgram import init_embeddings, sgns_epoch
 from node2vec_tpu.models.vocab import Vocabulary, build_vocab
 
 logger = logging.getLogger(__name__)
@@ -105,45 +105,45 @@ class Word2VecTPU:
             corpus_host[:n_walks] = walks
             corpus = jnp.asarray(corpus_host)
 
+        # one jit dispatch per EPOCH: shuffle on device, then lax.scan over
+        # all batches with on-device linear LR decay
+        lr_slope = p.step_size / total_steps
         self._losses = []
-        step = start_epoch * n_batches
         for epoch in range(start_epoch, p.max_iter):
             k_shuffle = jax.random.fold_in(root_key, 1_000_000 + epoch)
             shuffled = corpus[jax.random.permutation(k_shuffle, n_padded)]
-            for b in range(n_batches):
-                lr = max(
-                    p.step_size * (1.0 - step / total_steps), p.min_step_size
-                )
-                key = jax.random.fold_in(root_key, step)
-                ctx = timer.measure("sgns_step") if timer is not None else None
-                if ctx is not None:
-                    ctx.__enter__()
-                emb_in, emb_out, acc_in, acc_out, loss = sgns_corpus_step(
-                    emb_in,
-                    emb_out,
-                    acc_in,
-                    acc_out,
-                    shuffled,
-                    jnp.int32(b * batch),
-                    key,
-                    jnp.float32(lr),
-                    ns_alias,
-                    ns_prob,
-                    vocab_mask,
-                    batch=batch,
-                    window=p.window_size,
-                    negatives=p.negative,
-                    shared_negatives=self.shared_negatives,
-                    shrink_window=p.shrink_window,
-                )
-                if ctx is not None:
-                    float(loss)
-                    ctx.__exit__(None, None, None)
-                step += 1
-            epoch_loss = float(loss)
+            ctx = timer.measure("sgns_epoch") if timer is not None else None
+            if ctx is not None:
+                ctx.__enter__()
+            emb_in, emb_out, acc_in, acc_out, losses = sgns_epoch(
+                emb_in,
+                emb_out,
+                acc_in,
+                acc_out,
+                shuffled,
+                root_key,
+                jnp.int32(epoch * n_batches),
+                jnp.float32(p.step_size),
+                jnp.float32(lr_slope),
+                ns_alias,
+                ns_prob,
+                vocab_mask,
+                batch=batch,
+                n_batches=n_batches,
+                window=p.window_size,
+                negatives=p.negative,
+                shared_negatives=self.shared_negatives,
+                shrink_window=p.shrink_window,
+                min_lr=p.min_step_size,
+            )
+            epoch_loss = float(losses[-1])
+            if ctx is not None:
+                ctx.__exit__(None, None, None)
             self._losses.append(epoch_loss)
             if verbose:
-                logger.info("epoch %d/%d loss=%.4f lr=%.5f", epoch + 1, p.max_iter, epoch_loss, lr)
+                logger.info(
+                    "epoch %d/%d loss=%.4f", epoch + 1, p.max_iter, epoch_loss
+                )
             if checkpoint_dir and (epoch + 1) % checkpoint_every == 0:
                 save_train_state(
                     checkpoint_dir,
@@ -156,6 +156,97 @@ class Word2VecTPU:
 
         self.emb_in = np.asarray(emb_in)
         self.emb_out = np.asarray(emb_out)
+        return self
+
+    def fit_sharded(
+        self,
+        walks: np.ndarray,
+        mesh,
+        n_vertices: Optional[int] = None,
+        verbose: bool = False,
+    ) -> "Word2VecTPU":
+        """Multi-device training over a (data × model) mesh.
+
+        Embedding tables are TP-column-sharded over 'model'; walk batches are
+        DP-sharded over 'data' with updates psum'd so replicas stay identical
+        (node2vec_tpu.parallel.sharded_sgns).  The reference's only scaling
+        story is spark.ml's once-per-iteration parameter averaging
+        (SURVEY.md §2.2); this is a synchronous equivalent with a sharded
+        table.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+        from node2vec_tpu.parallel.sharded_sgns import (
+            init_sharded_state,
+            sharded_sgns_step,
+        )
+
+        p = self.params
+        walks = np.asarray(walks, dtype=np.int32)
+        self.vocab = build_vocab(
+            walks, n_vertices, min_count=p.min_count, ns_exponent=p.ns_exponent
+        )
+        n_v = self.vocab.n_vertices
+        if self.vocab.n_kept == 0:
+            raise ValueError(f"No vertex meets min_count={p.min_count}")
+        n_data = mesh.shape["data"]
+        n_model = mesh.shape["model"]
+        if p.vector_size % n_model:
+            raise ValueError(
+                f"vector_size {p.vector_size} not divisible by model axis {n_model}"
+            )
+
+        state = init_sharded_state(mesh, n_v, p.vector_size, seed=p.seed)
+        rep = NamedSharding(mesh, Pspec())
+        ns_alias = jax.device_put(jnp.asarray(self.vocab.ns_alias), rep)
+        ns_prob = jax.device_put(jnp.asarray(self.vocab.ns_prob), rep)
+        mask = jax.device_put(jnp.asarray(self.vocab.mask), rep)
+        batch_shard = NamedSharding(mesh, Pspec("data", None))
+
+        n_walks = len(walks)
+        batch = min(p.batch_walks, n_walks)
+        batch -= batch % n_data or 0
+        batch = max(batch, n_data)
+        n_batches = (n_walks + batch - 1) // batch
+        total_steps = max(p.max_iter * n_batches, 1)
+        rng = np.random.default_rng(p.seed)
+        root_key = jax.random.PRNGKey(p.seed)
+
+        self._losses = []
+        step = 0
+        for epoch in range(p.max_iter):
+            order = rng.permutation(n_walks)
+            for b in range(n_batches):
+                idx = order[b * batch : (b + 1) * batch]
+                wb = walks[idx]
+                if len(wb) < batch:
+                    pad = np.full((batch - len(wb), walks.shape[1]), -1, np.int32)
+                    wb = np.concatenate([wb, pad])
+                lr = max(p.step_size * (1.0 - step / total_steps), p.min_step_size)
+                state, loss = sharded_sgns_step(
+                    mesh,
+                    state,
+                    jax.device_put(jnp.asarray(wb), batch_shard),
+                    jax.random.fold_in(root_key, step),
+                    jnp.float32(lr),
+                    ns_alias,
+                    ns_prob,
+                    mask,
+                    window=p.window_size,
+                    negatives=p.negative,
+                    shared_negatives=self.shared_negatives,
+                    shrink_window=p.shrink_window,
+                )
+                step += 1
+            self._losses.append(float(loss))
+            if verbose:
+                logger.info(
+                    "sharded epoch %d/%d loss=%.4f", epoch + 1, p.max_iter,
+                    self._losses[-1],
+                )
+
+        self.emb_in = np.asarray(state.emb_in)
+        self.emb_out = np.asarray(state.emb_out)
         return self
 
     @property

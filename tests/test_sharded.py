@@ -128,6 +128,27 @@ def test_sharded_sgns_matches_single_device_semantics(mesh8, karate_edges):
     assert emb.shape == (34, 64)
 
 
+def test_fit_sharded_trains_on_mesh(mesh8, karate_edges):
+    from node2vec_tpu.constants import Word2VecParams
+    from node2vec_tpu.models import Word2VecTPU
+
+    src, dst = karate_edges
+    g = from_edge_arrays(src, dst, directed=False)
+    walks = random_walks(g, Node2VecParams(num_walks=6, walk_length=10), seed=0)
+    params = Word2VecParams(
+        min_count=1, vector_size=32, max_iter=4, batch_walks=64, step_size=0.05
+    )
+    model = Word2VecTPU(params, shared_negatives=16).fit_sharded(
+        walks, mesh8, n_vertices=g.n_vertices
+    )
+    assert model.vectors.shape == (34, 32)
+    assert np.isfinite(model.vectors).all()
+    assert len(model._losses) == 4
+    # divisibility guard: dim 33 cannot split across the 2-way model axis
+    bad = Word2VecTPU(Word2VecParams(min_count=1, vector_size=33, max_iter=1))
+    pytest.raises(ValueError, bad.fit_sharded, walks, mesh8)
+
+
 def test_sharded_sgns_tp_only_equals_single_device(karate_edges):
     """With n_data=1 the TP-sharded step must match the single-device step
     bit-for-bit (column sharding only splits the dim axis)."""
