@@ -56,6 +56,16 @@ def test_fit_updates_and_decreases_loss(karate_edges):
     assert model._losses[-1] < model._losses[0]
 
 
+def test_fit_deterministic(karate_edges):
+    src, dst = karate_edges
+    g = from_edge_arrays(src, dst, directed=False)
+    walks = random_walks(g, Node2VecParams(num_walks=4, walk_length=8), seed=0)
+    params = Word2VecParams(min_count=1, vector_size=32, max_iter=2, batch_walks=64, seed=9)
+    m1 = Word2VecTPU(params).fit(walks, n_vertices=g.n_vertices)
+    m2 = Word2VecTPU(params).fit(walks, n_vertices=g.n_vertices)
+    np.testing.assert_array_equal(m1.vectors, m2.vectors)
+
+
 def test_min_count_raises_on_empty_vocab():
     walks = np.array([[0, 1]], dtype=np.int32)
     model = Word2VecTPU(Word2VecParams(min_count=100, vector_size=32))

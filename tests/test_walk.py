@@ -160,6 +160,17 @@ def test_both_strategies_match_analytic_distribution(strategy):
     assert res.pvalue > 1e-4, (strategy, counts, target * counts.sum())
 
 
+def test_run_device_matches_run(karate_edges):
+    """Host-returning and device-resident walk paths must agree exactly."""
+    src, dst = karate_edges
+    g = from_edge_arrays(src, dst, directed=False)
+    params = Node2VecParams(num_walks=3, walk_length=7, walker_chunk=40)
+    engine = WalkEngine(g, params)
+    w_host = engine.run(seed=5)
+    w_dev = np.asarray(engine.run_device(seed=5))
+    np.testing.assert_array_equal(w_host, w_dev)
+
+
 def test_heavy_tail_auto_selects_csr_engine():
     """A hub vertex above the dense cap must route to the CSR rejection
     engine automatically, end to end."""
