@@ -146,7 +146,11 @@ def stage_embed(args) -> None:
 
 
 def stage_eval(args) -> None:
-    from node2vec_tpu.eval import link_prediction_auc, sample_negative_edges
+    from node2vec_tpu.eval import (
+        link_prediction_auc,
+        node_classification_f1,
+        sample_negative_edges,
+    )
 
     g = _load_graph(args.workdir)
     z = np.load(os.path.join(args.workdir, "model.npz"), allow_pickle=True)
@@ -159,6 +163,16 @@ def stage_eval(args) -> None:
     neg = sample_negative_edges(g.indptr, g.indices, n_pos, seed=args.seed)
     auc = link_prediction_auc(emb, (src[pick], g.indices[pick]), neg)
     result = {"metric": "link_pred_auc", "value": auc, "n_edges_eval": n_pos}
+    if args.labels:
+        # whitespace file: vertex_id label  (node2vec paper protocol)
+        lab = np.loadtxt(args.labels, dtype=np.int64)
+        labels = np.full(g.n_vertices, -1, dtype=np.int64)
+        labels[lab[:, 0]] = lab[:, 1]
+        have = labels >= 0
+        scores = node_classification_f1(
+            emb[have], labels[have], train_ratio=args.train_ratio, seed=args.seed
+        )
+        result.update(scores)
     print(json.dumps(result))
 
 
@@ -194,9 +208,11 @@ def main(argv=None) -> int:
     p_embed.add_argument("--lr", type=float, default=0.025)
     p_embed.add_argument("--checkpoint", action="store_true")
 
-    p_eval = sub.add_parser("eval", help="link-prediction AUC of trained vectors")
+    p_eval = sub.add_parser("eval", help="link-prediction AUC (+F1 with --labels)")
     p_eval.add_argument("--workdir", required=True)
     p_eval.add_argument("--seed", type=int, default=0)
+    p_eval.add_argument("--labels", default=None, help="file: vertex_id label")
+    p_eval.add_argument("--train-ratio", type=float, default=0.5)
 
     args = parser.parse_args(argv)
     {"index": stage_index, "walk": stage_walk, "embed": stage_embed, "eval": stage_eval}[
