@@ -49,7 +49,11 @@ class Node2Vec:
         profile: str = "fugue",
         checkpoint_dir: Optional[str] = None,
         walk_seed_vertices: Optional[np.ndarray] = None,
+        mesh=None,
     ):
+        """``mesh``: optional jax (data × model) Mesh — walks shard walkers
+        over 'data' and fit() trains TP×DP sharded (see node2vec_tpu.parallel).
+        """
         if isinstance(n2v_params, Node2VecParams):
             self.n2v_params = n2v_params
         else:
@@ -62,6 +66,7 @@ class Node2Vec:
         self.random_seed = random_seed if random_seed is not None else 0
         self.checkpoint_dir = checkpoint_dir
         self.walk_seed_vertices = walk_seed_vertices
+        self.mesh = mesh
         self.graph: Optional[Graph] = None
         self.walks: Optional[np.ndarray] = None
         self.backend: Optional[Node2VecTPUEmbedding] = None
@@ -96,7 +101,7 @@ class Node2Vec:
         """Generate the walk corpus (reference spark.py:536-614)."""
         if self.graph is None:
             raise RuntimeError("call preprocess_input_graph() first")
-        engine = WalkEngine(self.graph, self.n2v_params)
+        engine = WalkEngine(self.graph, self.n2v_params, mesh=self.mesh)
         self.walks = engine.run(
             seed=self.random_seed,
             start_vertices=self.walk_seed_vertices,
@@ -138,12 +143,18 @@ class Node2Vec:
         )
         # vocabulary covers every graph vertex even if rare ones fall below
         # min_count (they are masked, not renumbered)
-        self.backend.model.fit(
-            self.walks,
-            n_vertices=self.graph.n_vertices if self.graph else None,
-            verbose=verbose,
-            checkpoint_dir=self.checkpoint_dir,
-        )
+        n_v = self.graph.n_vertices if self.graph else None
+        if self.mesh is not None:
+            self.backend.model.fit_sharded(
+                self.walks, self.mesh, n_vertices=n_v, verbose=verbose
+            )
+        else:
+            self.backend.model.fit(
+                self.walks,
+                n_vertices=n_v,
+                verbose=verbose,
+                checkpoint_dir=self.checkpoint_dir,
+            )
         return self.backend.model
 
     def embedding(self) -> pd.DataFrame:

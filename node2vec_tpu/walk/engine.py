@@ -217,8 +217,10 @@ class WalkEngine:
         params: Node2VecParams,
         strategy: str = "auto",
         dense_max_degree: int = 256,
+        mesh=None,
     ):
         self.params = params
+        self.mesh = mesh  # optional jax Mesh: chunks run sharded over 'data'
         self.dgraph = graph.to_device() if isinstance(graph, Graph) else graph
         host_indptr = (
             graph.indptr if isinstance(graph, Graph) else np.asarray(graph.indptr)
@@ -254,6 +256,8 @@ class WalkEngine:
 
     def _run_chunk(self, chunk_starts: np.ndarray, key) -> jnp.ndarray:
         p = self.params
+        if self.mesh is not None:
+            return self._run_chunk_sharded(chunk_starts, key)
         if self.strategy == "dense":
             from node2vec_tpu.walk.dense import dense_walk_chunk
 
@@ -279,6 +283,50 @@ class WalkEngine:
             max_trials=p.max_rejection_trials,
             search_iters=self.search_iters,
         )
+
+    def _run_chunk_sharded(self, chunk_starts: np.ndarray, key) -> jnp.ndarray:
+        """Chunk sharded over the mesh's 'data' axis (graph replicated)."""
+        from node2vec_tpu.parallel.sharded_walk import (
+            sharded_dense_walk_chunk,
+            sharded_walk_chunk,
+        )
+
+        p = self.params
+        n_data = self.mesh.shape["data"]
+        n = len(chunk_starts)
+        if n % n_data:  # pad dead lanes so the shard split is even
+            pad = n_data - n % n_data
+            chunk_starts = np.concatenate(
+                [chunk_starts, np.full(pad, -1, np.int32)]
+            )
+        starts = jnp.asarray(chunk_starts)
+        if self.strategy == "dense":
+            out = sharded_dense_walk_chunk(
+                self.mesh,
+                self.packed_adj,
+                starts,
+                key,
+                walk_length=p.walk_length,
+                return_param=float(p.return_param),
+                inout_param=float(p.inout_param),
+            )
+        else:
+            g = self.dgraph
+            out = sharded_walk_chunk(
+                self.mesh,
+                g.indptr,
+                g.indices,
+                g.alias,
+                g.prob,
+                starts,
+                key,
+                walk_length=p.walk_length,
+                return_param=float(p.return_param),
+                inout_param=float(p.inout_param),
+                max_trials=p.max_rejection_trials,
+                search_iters=self.search_iters,
+            )
+        return out[:n]
 
     def run(
         self,

@@ -149,6 +149,35 @@ def test_fit_sharded_trains_on_mesh(mesh8, karate_edges):
     pytest.raises(ValueError, bad.fit_sharded, walks, mesh8)
 
 
+def test_node2vec_full_pipeline_on_mesh(mesh8, karate_edges):
+    """Top-level API with a mesh: sharded walks + sharded training end to end."""
+    import pandas as pd
+
+    from node2vec_tpu import Node2Vec
+
+    src, dst = karate_edges
+    df = pd.DataFrame({"src": src, "dst": dst})
+    n2v = Node2Vec(
+        n2v_params={"num_walks": 4, "walk_length": 6},
+        w2v_params={"min_count": 1, "vector_size": 32, "max_iter": 2,
+                    "batch_walks": 64},
+        random_seed=3,
+        mesh=mesh8,
+    )
+    n2v.preprocess_input_graph(df, indexed=True, directed=False)
+    walks = n2v.random_walk()
+    assert walks.shape == (34 * 4, 7)
+    adj = {v: set(n2v.graph.neighbors(v)[0].tolist()) for v in range(34)}
+    for row in walks:
+        for a, b in zip(row[:-1], row[1:]):
+            if a >= 0 and b >= 0:
+                assert b in adj[int(a)]
+    n2v.fit()
+    emb = n2v.embedding()
+    assert len(emb) == 34
+    assert np.isfinite(np.stack(emb["vector"].to_numpy())).all()
+
+
 def test_sharded_sgns_tp_only_equals_single_device(karate_edges):
     """With n_data=1 the TP-sharded step must match the single-device step
     bit-for-bit (column sharding only splits the dim axis)."""
