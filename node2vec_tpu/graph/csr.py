@@ -27,6 +27,7 @@ class DeviceGraph(NamedTuple):
     weights: jnp.ndarray  # [E] float32
     alias: jnp.ndarray  # [E] int32 segment-local alias slots
     prob: jnp.ndarray  # [E] float32 alias keep-probabilities
+    wtot: jnp.ndarray  # [V] float32 per-vertex total out-weight
 
     @property
     def n_vertices(self) -> int:
@@ -70,12 +71,15 @@ class Graph:
                 "single-device graph path requires E < 2^31; "
                 "use the sharded engine (node2vec_tpu.parallel) for larger graphs"
             )
+        cs = np.concatenate([[0.0], np.cumsum(self.weights, dtype=np.float64)])
+        wtot = (cs[self.indptr[1:]] - cs[self.indptr[:-1]]).astype(np.float32)
         return DeviceGraph(
             indptr=jnp.asarray(self.indptr, dtype=jnp.int32),
             indices=jnp.asarray(self.indices, dtype=jnp.int32),
             weights=jnp.asarray(self.weights, dtype=jnp.float32),
             alias=jnp.asarray(self.alias, dtype=jnp.int32),
             prob=jnp.asarray(self.prob, dtype=jnp.float32),
+            wtot=jnp.asarray(wtot),
         )
 
     def id_of(self, name) -> int:

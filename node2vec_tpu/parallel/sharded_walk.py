@@ -84,14 +84,16 @@ def _build_sharded_walk(
     search_iters: int,
     axis_name: str,
 ):
-    def shard_fn(indptr, indices, alias, prob, starts_shard, key):
+    def shard_fn(indptr, indices, weights, alias, prob, wtot, starts_shard, key):
         # per-shard key: deterministic in the shard's mesh position
         k = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         return walk_chunk_impl(
             indptr,
             indices,
+            weights,
             alias,
             prob,
+            wtot,
             starts_shard,
             k,
             walk_length=walk_length,
@@ -104,7 +106,7 @@ def _build_sharded_walk(
     mapped = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(axis_name), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(axis_name), P()),
         out_specs=P(axis_name, None),
         check_vma=False,
     )
@@ -115,8 +117,10 @@ def sharded_walk_chunk(
     mesh: Mesh,
     indptr: jax.Array,
     indices: jax.Array,
+    weights: jax.Array,
     alias: jax.Array,
     prob: jax.Array,
+    wtot: jax.Array,
     starts: jax.Array,
     key: jax.Array,
     *,
@@ -141,4 +145,4 @@ def sharded_walk_chunk(
         search_iters,
         axis_name,
     )
-    return fn(indptr, indices, alias, prob, starts, key)
+    return fn(indptr, indices, weights, alias, prob, wtot, starts, key)

@@ -66,8 +66,10 @@ def _null_ctx():
 def walk_chunk_impl(
     indptr: jax.Array,
     indices: jax.Array,
+    weights: jax.Array,
     alias: jax.Array,
     prob: jax.Array,
+    wtot: jax.Array,
     starts: jax.Array,
     key: jax.Array,
     *,
@@ -79,24 +81,42 @@ def walk_chunk_impl(
 ) -> jax.Array:
     """Run full walks for one chunk of walkers.
 
+    Sampling is an exact mixture decomposition (the back-edge — the only
+    1/p-class candidate — is a single atom whose mass ``w(cur,prev)/p`` is
+    computed with ONE binary search per step, so rejection only has to cover
+    the {1, 1/q} classes with bound max(1, 1/q) instead of
+    max(1/p, 1, 1/q)):
+
+      * branch A, prob ∝ w_back/p: next = prev, accepted unconditionally;
+      * branch B, prob ∝ Wtot(cur)·max(1,1/q): propose ∝ weight from the
+        alias table, reject prev outright, accept others with
+        bias/max(1,1/q), retry the WHOLE mixture on failure.
+
+    Accepted draws are exactly the node2vec distribution; expected trials are
+    ~max(q, 1/q) worst case (vs p·q-dependent before).
+
     Args:
       indptr: [V+1] int32 CSR row pointers.
       indices: [E] int32 neighbor ids, sorted per row.
+      weights: [E] float32 edge weights (CSR order).
       alias/prob: [E] first-order alias tables (segment-local slots).
+      wtot: [V] float32 per-vertex total out-weight.
       starts: [W] int32 start vertices; negative entries are padding lanes.
       key: PRNG key for the whole chunk.
 
     Returns: paths [W, walk_length+1] int32; -1 marks padding/dead tail.
     """
+    from node2vec_tpu.ops.sampling import searchsorted_in_segments
+
     n_walkers = starts.shape[0]
     inv_p = 1.0 / return_param
     inv_q = 1.0 / inout_param
-    alpha_max = max(inv_p, 1.0, inv_q)
-    alpha_min = min(inv_p, 1.0, inv_q)
-    # K proposals per rejection round: amortizes round latency when the
-    # worst-case acceptance rate alpha_min/alpha_max is low. p=q=1 -> K=1
-    # (single always-accepted draw); p=.25/q=4 -> K=8.
-    k_prop_batch = int(min(8, max(1, round((alpha_max / alpha_min) / 2))))
+    alpha2_max = max(1.0, inv_q)
+    alpha2_min = min(1.0, inv_q)
+    uniform_bias = return_param == 1.0 and inout_param == 1.0
+    # K proposals per rejection round, sized by the branch-B acceptance bound
+    # (wider rounds waste work once a lane accepts; measured optimum ~ratio/2)
+    k_prop_batch = int(min(8, max(1, round((alpha2_max / alpha2_min) / 2))))
     n_rounds = max(1, -(-max_trials // k_prop_batch))
 
     alive0 = starts >= 0
@@ -118,6 +138,24 @@ def walk_chunk_impl(
         safe_deg = jnp.maximum(degree, 1)
         kb = k_prop_batch
 
+        if uniform_bias:
+            m1 = jnp.zeros((n_walkers,), jnp.float32)
+        else:
+            # branch-A mass: weight of the back-edge (cur -> prev), if any
+            pos = searchsorted_in_segments(
+                prev_safe, seg_start, degree, indices, n_iters=search_iters
+            )
+            pos_safe = jnp.clip(pos, 0, indices.shape[0] - 1)
+            has_back = (
+                (pos < seg_start + degree)
+                & (indices[pos_safe] == prev_safe)
+                & ~first_order
+            )
+            w_back = jnp.where(has_back, weights[pos_safe], 0.0)
+            m1 = w_back * inv_p
+        m2 = wtot[cur_safe] * alpha2_max
+        p_branch1 = m1 / jnp.maximum(m1 + m2, 1e-30)
+
         def propose(k):
             """K alias draws per walker: slot + coin -> neighbor ids [W, K]."""
             k1, k2 = jax.random.split(k)
@@ -135,12 +173,18 @@ def walk_chunk_impl(
 
         def body_fn(state):
             key, cand, accepted, rounds = state
-            key, k_prop, k_acc = jax.random.split(key, 3)
-            proposal = propose(k_prop)  # [W, K]
-            if alpha_max == alpha_min:
-                # single bias class (e.g. p=q=1): every proposal is exact
+            if uniform_bias:
+                key, k_prop = jax.random.split(key)
+                proposal = propose(k_prop)
                 accept_now = jnp.ones((n_walkers, kb), dtype=bool)
             else:
+                key, k_prop, k_acc, k_branch = jax.random.split(key, 4)
+                proposal = propose(k_prop)  # [W, K]
+                take_back = (
+                    jax.random.uniform(k_branch, (n_walkers, kb))
+                    < p_branch1[:, None]
+                )
+                proposal = jnp.where(take_back, prev[:, None], proposal)
                 is_return = proposal == prev[:, None]
                 is_shared = contains_in_segments(
                     proposal.reshape(-1),
@@ -149,10 +193,16 @@ def walk_chunk_impl(
                     indices,
                     n_iters=search_iters,
                 ).reshape(n_walkers, kb)
-                bias = jnp.where(is_return, inv_p, jnp.where(is_shared, 1.0, inv_q))
-                bias = jnp.where(first_order[:, None], alpha_max, bias)
+                bias2 = jnp.where(is_shared, 1.0, inv_q)
                 u = jax.random.uniform(k_acc, (n_walkers, kb))
-                accept_now = u * alpha_max <= bias
+                # branch A accepts outright; branch B rejects prev, thins by bias2
+                accept_now = jnp.where(
+                    take_back,
+                    True,
+                    ~is_return & (u * alpha2_max <= bias2),
+                )
+                # step 0 is first-order: plain weight-proportional, accept all
+                accept_now = jnp.where(first_order[:, None], True, accept_now)
             # first accepted proposal this round; else keep the last draw as
             # the bounded-trials fallback (distribution ∝ weight)
             first_idx = jnp.argmax(accept_now, axis=1)
@@ -273,8 +323,10 @@ class WalkEngine:
         return walk_chunk(
             g.indptr,
             g.indices,
+            g.weights,
             g.alias,
             g.prob,
+            g.wtot,
             jnp.asarray(chunk_starts),
             key,
             walk_length=p.walk_length,
@@ -316,8 +368,10 @@ class WalkEngine:
                 self.mesh,
                 g.indptr,
                 g.indices,
+                g.weights,
                 g.alias,
                 g.prob,
+                g.wtot,
                 starts,
                 key,
                 walk_length=p.walk_length,

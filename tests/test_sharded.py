@@ -43,8 +43,10 @@ def test_sharded_walks_valid(mesh_flat, karate_edges):
         mesh_flat,
         dg.indptr,
         dg.indices,
+        dg.weights,
         dg.alias,
         dg.prob,
+        dg.wtot,
         starts,
         jax.random.PRNGKey(0),
         walk_length=6,
@@ -69,7 +71,8 @@ def test_sharded_walks_shards_differ(mesh_flat, karate_edges):
     starts = jnp.zeros(32, dtype=jnp.int32)  # all walkers start at vertex 0
     paths = np.asarray(
         sharded_walk_chunk(
-            mesh_flat, g.indptr, g.indices, g.alias, g.prob, starts,
+            mesh_flat, g.indptr, g.indices, g.weights, g.alias, g.prob,
+            g.wtot, starts,
             jax.random.PRNGKey(3), walk_length=8, return_param=1.0,
             inout_param=1.0, search_iters=6,
         )
