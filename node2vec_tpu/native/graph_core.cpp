@@ -80,7 +80,8 @@ int n2v_build_csr(int64_t n_edges, const int32_t* src, const int32_t* dst,
     if (deg <= 1) return;
     std::vector<int64_t> perm(deg);
     std::iota(perm.begin(), perm.end(), 0);
-    std::sort(perm.begin(), perm.end(), [&](int64_t a, int64_t b) {
+    // stable: parallel edges keep input order, matching the numpy fallback
+    std::stable_sort(perm.begin(), perm.end(), [&](int64_t a, int64_t b) {
       return indices[lo + a] < indices[lo + b];
     });
     std::vector<int32_t> tmp_i(deg);
