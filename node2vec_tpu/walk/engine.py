@@ -206,7 +206,10 @@ def walk_chunk_impl(
             # first accepted proposal this round; else keep the last draw as
             # the bounded-trials fallback (distribution ∝ weight)
             first_idx = jnp.argmax(accept_now, axis=1)
-            chosen = jnp.take_along_axis(proposal, first_idx[:, None], axis=1)[:, 0]
+            k_iota = jax.lax.broadcasted_iota(jnp.int32, (n_walkers, kb), 1)
+            chosen = jnp.sum(
+                jnp.where(k_iota == first_idx[:, None], proposal, 0), axis=1
+            )  # one-hot select (take_along_axis lowers poorly on TPU)
             any_new = accept_now.any(axis=1)
             fallback = proposal[:, kb - 1]
             cand = jnp.where(accepted, cand, jnp.where(any_new, chosen, fallback))
