@@ -120,6 +120,23 @@ def test_run_pipeline_device_resident(toy_df):
     assert len(emb) == 6
 
 
+def test_native_profile_defaults():
+    n2v = Node2Vec(profile="native")
+    assert n2v.n2v_params.num_walks == 20  # reference spark.py:36-38
+    assert n2v.n2v_params.walk_length == 10
+    n2v_fugue = Node2Vec()
+    assert n2v_fugue.n2v_params.num_walks == 10
+
+
+def test_preprocess_log1p_and_trim(toy_df):
+    n2v = Node2Vec(max_out_degree=2, random_seed=1, w2v_params=SMALL_W2V)
+    g = n2v.preprocess_input_graph(toy_df, indexed=False, directed=True,
+                                   log1p_weight=True)
+    assert g.out_degrees().max() <= 2
+    # log1p(1.0) on the defaulted unit weights
+    np.testing.assert_allclose(g.weights, np.log1p(1.0), rtol=1e-6)
+
+
 def test_embedding_backend_df_walks():
     df_walks = pd.DataFrame(
         {"src": [0, 1], "walk": [[0, 1, 2, 1], [1, 2, 0]]}
