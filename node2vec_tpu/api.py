@@ -119,15 +119,22 @@ class Node2Vec:
         """
         if self.graph is None:
             raise RuntimeError("call preprocess_input_graph() first")
-        engine = WalkEngine(self.graph, self.n2v_params)
+        engine = WalkEngine(self.graph, self.n2v_params, mesh=self.mesh)
         walks_dev = engine.run_device(
             seed=self.random_seed, start_vertices=self.walk_seed_vertices
         )
         name_id = self.graph.names if self.graph.names is not None else None
         self.backend = Node2VecTPUEmbedding(name_id=name_id, w2v_params=self.w2v_params)
-        self.backend.model.fit(
-            walks_dev, n_vertices=self.graph.n_vertices, verbose=verbose
-        )
+        if self.mesh is not None:
+            # sharded trainer consumes a host corpus (sharded batches per step)
+            self.backend.model.fit_sharded(
+                np.asarray(walks_dev), self.mesh,
+                n_vertices=self.graph.n_vertices, verbose=verbose,
+            )
+        else:
+            self.backend.model.fit(
+                walks_dev, n_vertices=self.graph.n_vertices, verbose=verbose
+            )
         self.walks = np.asarray(walks_dev)
         return self.backend.model
 

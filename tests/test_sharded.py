@@ -180,6 +180,10 @@ def test_node2vec_full_pipeline_on_mesh(mesh8, karate_edges):
     assert len(emb) == 34
     assert np.isfinite(np.stack(emb["vector"].to_numpy())).all()
 
+    # device-resident pipeline must respect the mesh too
+    model = n2v.run_pipeline()
+    assert np.isfinite(model.vectors).all()
+
 
 def test_sharded_sgns_tp_only_equals_single_device(karate_edges):
     """With n_data=1 the TP-sharded step must match the single-device step
