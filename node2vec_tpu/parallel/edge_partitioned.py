@@ -26,10 +26,12 @@ One superstep is a request/response round instead of Spark's two shuffles:
      never needs a remote lookup.
 
 Capacity: each shard can send up to ``capacity`` requests to each owner per
-step. Walkers that exceed a destination's capacity are deferred — they simply
-retry the same step next round (the walk distribution is unaffected; only
-scheduling shifts). With ``capacity = walkers_per_shard`` nothing ever
-defers.
+superstep. Walkers that exceed a destination's capacity are deferred — each
+walker advances by its own step CURSOR, so a deferred walker simply retries
+on the next superstep and its path stays contiguous (the walk distribution
+is unaffected; only scheduling shifts). The superstep loop runs until every
+walker finishes or a 4x slack bound is hit. With
+``capacity = walkers_per_shard`` nothing ever defers.
 """
 
 from __future__ import annotations
@@ -94,20 +96,24 @@ def _build_edge_partitioned_walk(
         paths0 = paths0.at[:, 0].set(jnp.where(alive0, starts_shard, -1))
         prev_rows0 = jnp.full((n_local, p_cols), PAD_ID, jnp.int32)
         lane = jax.lax.broadcasted_iota(jnp.int32, (n_shards * capacity, p_cols), 1)
+        walker_ids = jnp.arange(n_local)
 
-        def one_step(t, carry):
-            paths, cur, prev, prev_rows, alive, key = carry
+        def one_step(carry):
+            paths, cur, prev, prev_rows, alive, cursor, key, t = carry
             key, k_u = jax.random.split(key)
             u = jax.random.uniform(k_u, (n_local,))
 
+            # walkers whose path is complete stop requesting
+            active = alive & (cursor < walk_length)
+
             # ---- build requests bucketed by owner(cur) ---- #
-            dest = jnp.where(alive, owner_of(jnp.maximum(cur, 0)), 0)
+            dest = jnp.where(active, owner_of(jnp.maximum(cur, 0)), 0)
             onehot = (
                 dest[:, None] == jnp.arange(n_shards)[None, :]
-            ) & alive[:, None]
+            ) & active[:, None]
             slot_in_dest = jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1
             my_slot = jnp.sum(jnp.where(onehot, slot_in_dest, 0), axis=1)
-            sendable = alive & (my_slot < capacity)
+            sendable = active & (my_slot < capacity)
             flat_slot = jnp.where(
                 sendable, dest * capacity + my_slot, n_shards * capacity
             )
@@ -176,19 +182,35 @@ def _build_edge_partitioned_walk(
             stepped = sendable & (nxt_w >= 0)
             died = sendable & (got[:, 0] < 0)
             alive = alive & ~died
-            paths = jax.lax.dynamic_update_index_in_dim(
-                paths, jnp.where(stepped, nxt_w, -1), t + 1, axis=1
-            )
+            # per-walker cursor: deferred walkers keep a contiguous path.
+            # Non-stepped lanes write out of bounds and are dropped.
+            write_col = jnp.where(stepped, cursor + 1, walk_length + 64)
+            paths = paths.at[walker_ids, write_col].set(nxt_w, mode="drop")
+            cursor = jnp.where(stepped, cursor + 1, cursor)
             prev = jnp.where(stepped, cur, prev)
             cur = jnp.where(stepped, nxt_w, cur)
             prev_rows = jnp.where(stepped[:, None], new_row, prev_rows)
-            return paths, cur, prev, prev_rows, alive, key
+            return paths, cur, prev, prev_rows, alive, cursor, key, t + 1
+
+        def cond(carry):
+            paths, cur, prev, prev_rows, alive, cursor, key, t = carry
+            # GLOBAL condition (psum over the axis): every shard must agree on
+            # the superstep count or the all_to_alls in the body desynchronize
+            pending = jax.lax.psum(
+                jnp.sum((alive & (cursor < walk_length)).astype(jnp.int32)),
+                axis_name,
+            )
+            # 4x slack over the no-deferral superstep count
+            return (t < 4 * walk_length + 4) & (pending > 0)
 
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         cur0 = jnp.where(alive0, starts_shard, 0)
         prev0 = jnp.full((n_local,), -1, jnp.int32)
-        paths, *_ = jax.lax.fori_loop(
-            0, walk_length, one_step, (paths0, cur0, prev0, prev_rows0, alive0, key)
+        cursor0 = jnp.zeros((n_local,), jnp.int32)
+        paths, *_ = jax.lax.while_loop(
+            cond,
+            one_step,
+            (paths0, cur0, prev0, prev_rows0, alive0, cursor0, key, jnp.int32(0)),
         )
         return paths
 

@@ -79,6 +79,28 @@ def test_edge_partitioned_walk_sinks(mesh8):
     np.testing.assert_array_equal(paths[2], [2, -1, -1, -1, -1])
 
 
+def test_edge_partitioned_capacity_deferral(mesh8, karate_edges):
+    """With a tiny per-owner capacity, walkers defer but every path still
+    completes contiguously (per-walker step cursors)."""
+    src, dst = karate_edges
+    g = from_edge_arrays(src, dst, directed=False)
+    adj, rps, starts = _setup(mesh8, g, 64)
+    paths = np.asarray(
+        edge_partitioned_walk(
+            mesh8, adj, rps, starts, jax.random.PRNGKey(5),
+            walk_length=6, return_param=0.5, inout_param=2.0,
+            capacity=2,  # 8 walkers/shard but only 2 requests per owner/step
+        )
+    )
+    assert paths.shape == (64, 7)
+    # connected graph: every walk completes despite deferrals, no -1 holes
+    assert (paths >= 0).all()
+    adj_sets = {v: set(g.neighbors(v)[0].tolist()) for v in range(g.n_vertices)}
+    for row in paths:
+        for a, b in zip(row[:-1], row[1:]):
+            assert b in adj_sets[int(a)], row
+
+
 def test_edge_partitioned_matches_analytic_distribution(mesh8):
     """Sharded frontier exchange must preserve the exact p/q distribution."""
     src = np.array([0, 0, 1, 1, 1, 2, 2, 3], dtype=np.int32)
