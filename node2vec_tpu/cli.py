@@ -162,7 +162,10 @@ def stage_eval(args) -> None:
     pick = rng.choice(len(src), n_pos, replace=False)
     neg = sample_negative_edges(g.indptr, g.indices, n_pos, seed=args.seed)
     auc = link_prediction_auc(emb, (src[pick], g.indices[pick]), neg)
-    result = {"metric": "link_pred_auc", "value": auc, "n_edges_eval": n_pos}
+    # positives are training-graph edges (the embeddings saw them), so this is
+    # an optimistic "train-edge" AUC, not a held-out-edge protocol; use the
+    # quality harness (datasets module) for held-out link prediction.
+    result = {"metric": "train_edge_auc", "value": auc, "n_edges_eval": n_pos}
     if args.labels:
         # whitespace file: vertex_id label  (node2vec paper protocol)
         lab = np.loadtxt(args.labels, dtype=np.int64)

@@ -94,6 +94,11 @@ def build_graph(
         dst = np.asarray(dst, dtype=np.int64)
         if len(src) and (src.min() < 0 or dst.min() < 0):
             raise ValueError("indexed vertex ids must be non-negative")
+        if len(src) and max(src.max(), dst.max()) >= 2**31:
+            raise ValueError(
+                "indexed vertex ids must fit int32 (< 2^31); re-index with "
+                "indexed=False to map arbitrary ids to dense int32"
+            )
         src = src.astype(np.int32)
         dst = dst.astype(np.int32)
 

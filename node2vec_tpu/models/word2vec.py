@@ -136,7 +136,7 @@ class Word2VecTPU:
                 shrink_window=p.shrink_window,
                 min_lr=p.min_step_size,
             )
-            epoch_loss = float(losses[-1])
+            epoch_loss = float(losses.mean())  # mean over batches, not the last batch
             if ctx is not None:
                 ctx.__exit__(None, None, None)
             self._losses.append(epoch_loss)

@@ -14,15 +14,42 @@ pipeline stages (``examples/native_spark.py:39-61``).  The TPU equivalents:
 
 from __future__ import annotations
 
+import hashlib
+import logging
 import os
 import re
 from typing import Dict, Optional, Tuple
 
 import numpy as np
 
+logger = logging.getLogger(__name__)
 
-def save_walk_chunk(checkpoint_dir: str, chunk_idx: int, paths: np.ndarray) -> str:
+
+def walk_fingerprint(params, seed: int, starts: np.ndarray, n_vertices: int) -> str:
+    """Hash of everything that determines walk content, so a checkpoint dir
+    reused with a different configuration is detected instead of silently
+    serving stale walks (round-1 advisor finding)."""
+    h = hashlib.sha256()
+    h.update(repr(params).encode())
+    h.update(f"|seed={seed}|V={n_vertices}|".encode())
+    h.update(np.ascontiguousarray(starts, dtype=np.int32).tobytes())
+    return h.hexdigest()[:32]
+
+
+def _fingerprint_path(checkpoint_dir: str) -> str:
+    return os.path.join(checkpoint_dir, "walks_fingerprint.txt")
+
+
+def save_walk_chunk(
+    checkpoint_dir: str,
+    chunk_idx: int,
+    paths: np.ndarray,
+    fingerprint: Optional[str] = None,
+) -> str:
     os.makedirs(checkpoint_dir, exist_ok=True)
+    if fingerprint is not None and not os.path.exists(_fingerprint_path(checkpoint_dir)):
+        with open(_fingerprint_path(checkpoint_dir), "w") as f:
+            f.write(fingerprint)
     path = os.path.join(checkpoint_dir, f"walks_chunk_{chunk_idx:06d}.npz")
     tmp = path + ".tmp.npz"
     np.savez_compressed(tmp, paths=paths)
@@ -30,10 +57,37 @@ def save_walk_chunk(checkpoint_dir: str, chunk_idx: int, paths: np.ndarray) -> s
     return path
 
 
-def load_walk_chunks(checkpoint_dir: Optional[str]) -> Dict[int, np.ndarray]:
-    """All persisted walk chunks as {chunk_idx: paths}."""
+def load_walk_chunks(
+    checkpoint_dir: Optional[str], fingerprint: Optional[str] = None
+) -> Dict[int, np.ndarray]:
+    """All persisted walk chunks as {chunk_idx: paths}.
+
+    If ``fingerprint`` is given and the directory's stored fingerprint does
+    not match (different seed/params/starts), the stale chunk files are
+    REMOVED (they can never be valid again, and leaving them risks a crashed
+    rerun later mixing old and new chunks under the new fingerprint).
+    """
     if not checkpoint_dir or not os.path.isdir(checkpoint_dir):
         return {}
+    if fingerprint is not None:
+        fp_path = _fingerprint_path(checkpoint_dir)
+        stored = open(fp_path).read().strip() if os.path.exists(fp_path) else None
+        if stored != fingerprint:
+            stale = [
+                fn
+                for fn in os.listdir(checkpoint_dir)
+                if re.fullmatch(r"walks_chunk_(\d+)\.npz", fn)
+            ]
+            logger.warning(
+                "walk checkpoint dir %s was written by a different "
+                "configuration (fingerprint %s != %s); discarding %d stale "
+                "chunk(s)", checkpoint_dir, stored, fingerprint, len(stale),
+            )
+            for fn in stale:
+                os.remove(os.path.join(checkpoint_dir, fn))
+            if stored is not None:
+                os.remove(fp_path)
+            return {}
     out = {}
     for fn in os.listdir(checkpoint_dir):
         m = re.fullmatch(r"walks_chunk_(\d+)\.npz", fn)

@@ -395,12 +395,20 @@ class WalkEngine:
         """All walks as a host array [num_starts * num_walks, walk_length+1].
 
         Row layout: walk copy ``i`` of start vertex ``v`` is row
-        ``i * num_starts + v`` — deterministic under (seed, params), regardless
-        of chunking.  With ``checkpoint_dir``, completed chunks are persisted
-        and a restarted run skips them (the reference's every-10-steps
-        lineage checkpoint analogue, spark.py:597-598).
+        ``i * num_starts + v`` — deterministic under (seed, params) INCLUDING
+        ``walker_chunk``: PRNG keys are folded per chunk index, so changing
+        the chunk size reassigns lanes to keys and yields different (equally
+        distributed) walks.  With ``checkpoint_dir``, completed chunks are
+        persisted and a restarted run with the same configuration skips them
+        (the reference's every-10-steps lineage checkpoint analogue,
+        spark.py:597-598); a changed configuration is detected by fingerprint
+        and ignores stale chunks.
         """
-        from node2vec_tpu.utils.checkpoint import load_walk_chunks, save_walk_chunk
+        from node2vec_tpu.utils.checkpoint import (
+            load_walk_chunks,
+            save_walk_chunk,
+            walk_fingerprint,
+        )
 
         p = self.params
         g = self.dgraph
@@ -412,7 +420,8 @@ class WalkEngine:
         n_total = len(starts)
         chunk = self._effective_chunk(n_total)
 
-        done = load_walk_chunks(checkpoint_dir)
+        fp = walk_fingerprint(p, seed, starts_one, g.n_vertices)
+        done = load_walk_chunks(checkpoint_dir, fingerprint=fp)
         out = np.empty((n_total, p.walk_length + 1), dtype=np.int32)
         # threefry keys: rbg showed no runtime benefit in the fused walk
         # loop but exploded XLA compile time ~50x (107s vs 2s measured)
@@ -438,7 +447,7 @@ class WalkEngine:
             )
             out[lo:hi] = chunk_out
             if checkpoint_dir:
-                save_walk_chunk(checkpoint_dir, c_idx, chunk_out)
+                save_walk_chunk(checkpoint_dir, c_idx, chunk_out, fingerprint=fp)
         return out
 
 

@@ -35,13 +35,34 @@ def test_walk_resume_skips_done_chunks(karate_edges, tmp_path):
     params = Node2VecParams(num_walks=4, walk_length=5, walker_chunk=34)
     ckpt = str(tmp_path / "walks")
     w1 = random_walks(g, params, seed=9, checkpoint_dir=ckpt)
-    assert len(os.listdir(ckpt)) == 4  # one file per chunk
-    # corrupt one chunk on disk; resume must reuse the others verbatim
-    files = sorted(os.listdir(ckpt))
-    marker = np.load(os.path.join(ckpt, files[1]))["paths"].copy()
+    chunk_files = sorted(f for f in os.listdir(ckpt) if f.endswith(".npz"))
+    assert len(chunk_files) == 4  # one file per chunk (+ fingerprint marker)
+    marker = np.load(os.path.join(ckpt, chunk_files[1]))["paths"].copy()
     w2 = random_walks(g, params, seed=9, checkpoint_dir=ckpt)
     np.testing.assert_array_equal(w1, w2)
-    np.testing.assert_array_equal(marker, np.load(os.path.join(ckpt, files[1]))["paths"])
+    np.testing.assert_array_equal(
+        marker, np.load(os.path.join(ckpt, chunk_files[1]))["paths"]
+    )
+
+
+def test_walk_resume_rejects_stale_config(karate_edges, tmp_path):
+    """A checkpoint dir written under a different seed/params must not serve
+    its chunks to the new run (round-1 advisor finding: stale-walk reuse)."""
+    src, dst = karate_edges
+    g = from_edge_arrays(src, dst, directed=False)
+    ckpt = str(tmp_path / "walks")
+    params = Node2VecParams(num_walks=4, walk_length=5, walker_chunk=34)
+    random_walks(g, params, seed=9, checkpoint_dir=ckpt)
+    w_fresh = random_walks(g, params, seed=10)  # different seed, no ckpt
+    w_ckpt = random_walks(g, params, seed=10, checkpoint_dir=ckpt)
+    np.testing.assert_array_equal(w_fresh, w_ckpt)  # stale chunks ignored
+    # and the dir is now usable for the NEW config on a subsequent resume
+    biased = Node2VecParams(
+        num_walks=4, walk_length=5, walker_chunk=34, return_param=0.5
+    )
+    w_b1 = random_walks(g, biased, seed=10)
+    w_b2 = random_walks(g, biased, seed=10, checkpoint_dir=ckpt)
+    np.testing.assert_array_equal(w_b1, w_b2)
 
 
 def test_train_state_roundtrip(tmp_path):
