@@ -164,15 +164,24 @@ class Word2VecTPU:
         mesh,
         n_vertices: Optional[int] = None,
         verbose: bool = False,
+        table_sharding: str = "column",
     ) -> "Word2VecTPU":
         """Multi-device training over a (data × model) mesh.
 
-        Embedding tables are TP-column-sharded over 'model'; walk batches are
-        DP-sharded over 'data' with updates psum'd so replicas stay identical
-        (node2vec_tpu.parallel.sharded_sgns).  The reference's only scaling
-        story is spark.ml's once-per-iteration parameter averaging
-        (SURVEY.md §2.2); this is a synchronous equivalent with a sharded
-        table.
+        Two table layouts:
+
+        * ``table_sharding="column"`` — TP columns over 'model', full-table
+          replica per data shard, dense psum per step.  Bit-matches the
+          single-device trainer under TP-only meshes; V capped by one
+          device's HBM.
+        * ``table_sharding="row"`` — rows mod-sharded over ALL devices with
+          sparse all-to-all routing (parallel.rowsharded_sgns): per-step comm
+          is O(batch·D) independent of V, lifting the vertex-count ceiling.
+          The whole epoch is one jit dispatch.
+
+        The reference's only scaling story is spark.ml's once-per-iteration
+        parameter averaging (SURVEY.md §2.2); both modes are synchronous
+        equivalents with genuinely sharded state.
         """
         from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
@@ -180,6 +189,9 @@ class Word2VecTPU:
             init_sharded_state,
             sharded_sgns_step,
         )
+
+        if table_sharding == "row":
+            return self._fit_row_sharded(walks, mesh, n_vertices, verbose)
 
         p = self.params
         walks = np.asarray(walks, dtype=np.int32)
@@ -247,6 +259,94 @@ class Word2VecTPU:
 
         self.emb_in = np.asarray(state.emb_in)
         self.emb_out = np.asarray(state.emb_out)
+        return self
+
+    def _fit_row_sharded(
+        self,
+        walks: np.ndarray,
+        mesh,
+        n_vertices: Optional[int],
+        verbose: bool,
+    ) -> "Word2VecTPU":
+        """Row-sharded trainer: one jit dispatch per epoch, O(batch·D) comm."""
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+        from node2vec_tpu.parallel.rowsharded_sgns import (
+            AXES,
+            init_row_state,
+            row_sgns_epoch,
+            unshard_rows,
+        )
+
+        p = self.params
+        walks = np.asarray(walks, dtype=np.int32)
+        self.vocab = build_vocab(
+            walks, n_vertices, min_count=p.min_count, ns_exponent=p.ns_exponent
+        )
+        n_v = self.vocab.n_vertices
+        if self.vocab.n_kept == 0:
+            raise ValueError(f"No vertex meets min_count={p.min_count}")
+        n_dev = int(np.prod([mesh.shape[a] for a in AXES]))
+
+        n_walks = len(walks)
+        batch = max(min(p.batch_walks, n_walks) // n_dev, 1) * n_dev
+        batch_local = batch // n_dev
+        n_batches = max(n_walks // batch, 1)
+        # pad/trim the corpus to whole sharded batches (dead rows are -1)
+        n_used = n_batches * batch
+        corpus_host = np.full((n_used, walks.shape[1]), -1, dtype=np.int32)
+        corpus_host[: min(n_walks, n_used)] = walks[:n_used]
+        # interleave rows so each device's contiguous shard is a stratified
+        # sample (shuffling then happens per-shard on device each epoch)
+        corpus = jax.device_put(
+            jnp.asarray(corpus_host),
+            NamedSharding(mesh, Pspec(AXES, None)),
+        )
+        rep = NamedSharding(mesh, Pspec())
+        ns_alias = jax.device_put(jnp.asarray(self.vocab.ns_alias), rep)
+        ns_prob = jax.device_put(jnp.asarray(self.vocab.ns_prob), rep)
+        mask = jax.device_put(jnp.asarray(self.vocab.mask), rep)
+
+        state = init_row_state(mesh, n_v, p.vector_size, seed=p.seed)
+        total_steps = max(p.max_iter * n_batches, 1)
+        lr_slope = p.step_size / total_steps
+        root_key = jax.random.PRNGKey(p.seed)
+
+        self._losses = []
+        total_dropped = 0
+        for epoch in range(p.max_iter):
+            state, losses, dropped = row_sgns_epoch(
+                mesh,
+                state,
+                corpus,
+                jax.random.fold_in(root_key, epoch),
+                epoch * n_batches,
+                p.step_size,
+                lr_slope,
+                ns_alias,
+                ns_prob,
+                mask,
+                batch_local=batch_local,
+                n_batches=n_batches,
+                window=p.window_size,
+                negatives=p.negative,
+                shared_negatives=self.shared_negatives,
+                shrink_window=p.shrink_window,
+                min_lr=p.min_step_size,
+            )
+            total_dropped += int(dropped)
+            self._losses.append(float(losses.mean()))
+            if verbose:
+                logger.info(
+                    "row-sharded epoch %d/%d loss=%.4f", epoch + 1,
+                    p.max_iter, self._losses[-1],
+                )
+        if total_dropped:
+            logger.warning(
+                "row-sharded training dropped %d routed rows to capacity "
+                "overflow (raise cap_slack or batch size)", total_dropped,
+            )
+        self.emb_in, self.emb_out = unshard_rows(state, n_dev)
         return self
 
     @property

@@ -75,6 +75,84 @@ def sharded_dense_walk_chunk(
 
 
 @functools.lru_cache(maxsize=16)
+def _build_sharded_blocked_walk(
+    mesh: Mesh,
+    walk_length: int,
+    return_param: float,
+    inout_param: float,
+    max_trials: int,
+    light_width: int,
+    block_width: int,
+    has_heavy: bool,
+    axis_name: str,
+):
+    from node2vec_tpu.walk.blocked import blocked_walk_chunk_impl
+
+    def shard_fn(light, meta, blocks, starts_shard, gids_shard, seed):
+        # no per-shard key fold needed: the blocked engine's RNG is counter-
+        # based on global walker ids, so results are layout-invariant
+        paths, n_fb = blocked_walk_chunk_impl(
+            light,
+            meta,
+            blocks,
+            starts_shard,
+            gids_shard,
+            seed,
+            walk_length=walk_length,
+            return_param=return_param,
+            inout_param=inout_param,
+            max_trials=max_trials,
+            light_width=light_width,
+            block_width=block_width,
+            has_heavy=has_heavy,
+        )
+        return paths, n_fb.reshape((1,))
+
+    mapped = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis_name), P(axis_name), P()),
+        out_specs=(P(axis_name, None), P(axis_name)),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def sharded_blocked_walk_chunk(
+    mesh: Mesh,
+    light: jax.Array,
+    meta: jax.Array,
+    blocks: jax.Array,
+    starts: jax.Array,
+    gids: jax.Array,
+    seed: jax.Array,
+    *,
+    walk_length: int,
+    return_param: float,
+    inout_param: float,
+    max_trials: int = 64,
+    light_width: int = 64,
+    block_width: int = 256,
+    has_heavy: bool = True,
+    axis_name: str = "data",
+):
+    """Blocked-engine sharded walk: walkers over ``axis_name``, both adjacency
+    tables replicated per device.  Returns (paths, per-shard fallback counts)."""
+    fn = _build_sharded_blocked_walk(
+        mesh,
+        walk_length,
+        float(return_param),
+        float(inout_param),
+        max_trials,
+        light_width,
+        block_width,
+        has_heavy,
+        axis_name,
+    )
+    return fn(light, meta, blocks, starts, gids, seed)
+
+
+@functools.lru_cache(maxsize=16)
 def _build_sharded_walk(
     mesh: Mesh,
     walk_length: int,

@@ -256,12 +256,14 @@ class WalkEngine:
     """Chunked walk driver: replicates each start vertex num_walks times and
     sweeps fixed-size walker chunks through the jit-compiled step program.
 
-    Two jit-compiled strategies (selected by ``strategy="auto"``):
+    Three jit-compiled strategies (selected by ``strategy="auto"``):
 
     * ``dense`` — padded-adjacency exact sampler (walk.dense); the fast path
       whenever max degree <= ``dense_max_degree``.
-    * ``csr`` — alias-table rejection sampler over CSR (this module); covers
-      arbitrary degree distributions.
+    * ``blocked`` — two-table blocked-CSR async engine (walk.blocked); the
+      heavy-tail fast path, selected automatically above ``dense_max_degree``.
+    * ``csr`` — alias-table rejection sampler over CSR (this module); kept as
+      the reference-style fallback and for engine-matrix tests.
     """
 
     def __init__(
@@ -283,21 +285,27 @@ class WalkEngine:
         # binary-search depth: ceil(log2(max_degree)) + 1, min 1
         self.search_iters = max(1, math.ceil(math.log2(max_deg + 1)) + 1)
         if strategy == "auto":
-            strategy = "dense" if max_deg <= dense_max_degree else "csr"
+            strategy = "dense" if max_deg <= dense_max_degree else "blocked"
         self.strategy = strategy
         self.packed_adj = None
+        self.bgraph = None
+        self.fallback_count = 0  # blocked engine: trial-capped ∝w accepts
+        if isinstance(graph, Graph):
+            indptr, indices, weights = graph.indptr, graph.indices, graph.weights
+        else:
+            indptr = np.asarray(graph.indptr)
+            indices = np.asarray(graph.indices)
+            weights = np.asarray(graph.weights)
         if strategy == "dense":
             from node2vec_tpu.walk.dense import build_padded_adjacency
 
-            if isinstance(graph, Graph):
-                indptr, indices, weights = graph.indptr, graph.indices, graph.weights
-            else:
-                indptr = np.asarray(graph.indptr)
-                indices = np.asarray(graph.indices)
-                weights = np.asarray(graph.weights)
             self.packed_adj = jnp.asarray(
                 build_padded_adjacency(indptr, indices, weights)
             )
+        elif strategy == "blocked":
+            from node2vec_tpu.walk.blocked import build_blocked_graph
+
+            self.bgraph = build_blocked_graph(indptr, indices, weights)
 
     def _effective_chunk(self, n_total: int) -> int:
         chunk = min(self.params.walker_chunk, max(n_total, 1))
@@ -305,12 +313,19 @@ class WalkEngine:
             # bound the [W, P] working set: W * P <= 2^24 elements
             w_cap = max(1024, (1 << 25) // self.packed_adj.shape[1])
             chunk = min(chunk, w_cap)
+        elif self.strategy == "blocked":
+            # bound the carried per-walker state (2 rows + 2 meta + path)
+            per_walker = 6 * self.bgraph.light_width + 256
+            w_cap = max(1024, (1 << 26) // per_walker)
+            chunk = min(chunk, w_cap)
         return chunk
 
-    def _run_chunk(self, chunk_starts: np.ndarray, key) -> jnp.ndarray:
+    def _run_chunk(
+        self, chunk_starts: np.ndarray, key, gid_base: int = 0, seed: int = 0
+    ) -> jnp.ndarray:
         p = self.params
         if self.mesh is not None:
-            return self._run_chunk_sharded(chunk_starts, key)
+            return self._run_chunk_sharded(chunk_starts, key, gid_base, seed)
         if self.strategy == "dense":
             from node2vec_tpu.walk.dense import dense_walk_chunk
 
@@ -322,6 +337,28 @@ class WalkEngine:
                 return_param=float(p.return_param),
                 inout_param=float(p.inout_param),
             )
+        if self.strategy == "blocked":
+            from node2vec_tpu.walk.blocked import blocked_walk_chunk
+
+            bg = self.bgraph
+            gids = jnp.arange(gid_base, gid_base + len(chunk_starts), dtype=jnp.int32)
+            paths, n_fb = blocked_walk_chunk(
+                bg.light,
+                bg.meta,
+                bg.blocks,
+                jnp.asarray(chunk_starts),
+                gids,
+                jnp.uint32(seed & 0xFFFFFFFF),
+                walk_length=p.walk_length,
+                return_param=float(p.return_param),
+                inout_param=float(p.inout_param),
+                max_trials=p.max_rejection_trials,
+                light_width=bg.light_width,
+                block_width=bg.block_width,
+                has_heavy=bg.has_heavy,
+            )
+            self.fallback_count += int(n_fb)
+            return paths
         g = self.dgraph
         return walk_chunk(
             g.indptr,
@@ -339,9 +376,12 @@ class WalkEngine:
             search_iters=self.search_iters,
         )
 
-    def _run_chunk_sharded(self, chunk_starts: np.ndarray, key) -> jnp.ndarray:
+    def _run_chunk_sharded(
+        self, chunk_starts: np.ndarray, key, gid_base: int = 0, seed: int = 0
+    ) -> jnp.ndarray:
         """Chunk sharded over the mesh's 'data' axis (graph replicated)."""
         from node2vec_tpu.parallel.sharded_walk import (
+            sharded_blocked_walk_chunk,
             sharded_dense_walk_chunk,
             sharded_walk_chunk,
         )
@@ -365,6 +405,28 @@ class WalkEngine:
                 return_param=float(p.return_param),
                 inout_param=float(p.inout_param),
             )
+        elif self.strategy == "blocked":
+            bg = self.bgraph
+            gids = jnp.arange(
+                gid_base, gid_base + len(chunk_starts), dtype=jnp.int32
+            )
+            out, n_fb = sharded_blocked_walk_chunk(
+                self.mesh,
+                bg.light,
+                bg.meta,
+                bg.blocks,
+                starts,
+                gids,
+                jnp.uint32(seed & 0xFFFFFFFF),
+                walk_length=p.walk_length,
+                return_param=float(p.return_param),
+                inout_param=float(p.inout_param),
+                max_trials=p.max_rejection_trials,
+                light_width=bg.light_width,
+                block_width=bg.block_width,
+                has_heavy=bg.has_heavy,
+            )
+            self.fallback_count += int(n_fb.sum())
         else:
             g = self.dgraph
             out = sharded_walk_chunk(
@@ -437,7 +499,7 @@ class WalkEngine:
             ctx = timer.measure("walk_chunk") if timer is not None else _null_ctx()
             t0 = time.perf_counter()
             with ctx:
-                paths = self._run_chunk(chunk_starts, key)
+                paths = self._run_chunk(chunk_starts, key, gid_base=lo, seed=seed)
                 chunk_out = np.asarray(jax.block_until_ready(paths))[: hi - lo]
             dt = time.perf_counter() - t0
             steps = int((chunk_out >= 0).sum()) - (hi - lo)
@@ -475,7 +537,9 @@ class WalkEngine:
             chunk_starts = np.full(chunk, -1, dtype=np.int32)
             chunk_starts[: hi - lo] = starts[lo:hi]
             key = jax.random.fold_in(root, c_idx)
-            parts.append(self._run_chunk(chunk_starts, key)[: hi - lo])
+            parts.append(
+                self._run_chunk(chunk_starts, key, gid_base=lo, seed=seed)[: hi - lo]
+            )
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
 

@@ -1,0 +1,285 @@
+"""Blocked-CSR heavy-tail engine tests (walk/blocked.py).
+
+Covers the builder's structural invariants, exact-distribution chi-square
+checks with heavy vertices in every role (proposal source, membership target,
+multi-block hub), the chunk-invariance property the other engines lack, the
+trial-cap fallback accounting, and sharded-vs-single-device bit-match.
+"""
+
+import numpy as np
+import pytest
+from scipy import stats
+
+import jax
+import jax.numpy as jnp
+
+from node2vec_tpu.constants import Node2VecParams
+from node2vec_tpu.graph import from_edge_arrays
+from node2vec_tpu.walk import WalkEngine
+from node2vec_tpu.walk.blocked import (
+    MAX_BLOCKS,
+    PAD_ID,
+    BlockedGraph,
+    build_blocked_graph,
+    blocked_walk_chunk,
+)
+
+
+def _hub_graph(hub_deg=600, seed=0, with_far=False):
+    """Hub 0 with ``hub_deg`` weighted out/in edges + a light ring; the hub
+    spans multiple 256-wide blocks.  ``with_far`` adds a vertex F=hub_deg+1
+    reachable from every ring vertex but NOT a neighbor of the hub, so
+    hub->x->F transitions exercise the 1/q (non-shared) class."""
+    rng = np.random.default_rng(seed)
+    nbrs = np.arange(1, hub_deg + 1, dtype=np.int32)
+    src = np.concatenate([np.zeros(hub_deg, np.int32), nbrs])
+    dst = np.concatenate([nbrs, np.zeros(hub_deg, np.int32)])
+    ring_src = nbrs
+    ring_dst = (nbrs % hub_deg) + 1
+    src = np.concatenate([src, ring_src, ring_dst])
+    dst = np.concatenate([dst, ring_dst, ring_src])
+    if with_far:
+        far = np.int32(hub_deg + 1)
+        src = np.concatenate([src, nbrs, [far]])
+        dst = np.concatenate([dst, np.full(hub_deg, far, np.int32), [1]])
+    w = rng.uniform(0.5, 2.0, len(src)).astype(np.float32)
+    return from_edge_arrays(src, dst, w, directed=True)
+
+
+def test_builder_structure_roundtrip():
+    g = _hub_graph()
+    bg = build_blocked_graph(g.indptr, g.indices, g.weights)
+    assert isinstance(bg, BlockedGraph)
+    assert bg.has_heavy
+    light = np.asarray(bg.light)
+    meta = np.asarray(bg.meta)
+    blocks = np.asarray(bg.blocks)
+    p_l, c = bg.light_width, bg.block_width
+    deg = g.out_degrees()
+
+    for v in [0, 1, 2, 17, 300]:
+        ids, w = g.neighbors(v)
+        if deg[v] <= p_l:  # light: row must reproduce the CSR segment
+            row_ids = light[v, :p_l]
+            np.testing.assert_array_equal(row_ids[: len(ids)], ids)
+            assert (row_ids[len(ids):] == PAD_ID).all()
+            row_w = light[v, p_l : p_l + len(ids)].view(np.float32)
+            np.testing.assert_allclose(row_w, w)
+        else:  # heavy: blocks must concatenate to the CSR segment
+            rank = -(int(light[v, 0])) - 2
+            m = meta[rank]
+            nb = m[1]
+            assert m[3] == deg[v]
+            got = np.concatenate(
+                [blocks[m[0] + b, :c] for b in range(nb)]
+            )[: deg[v]]
+            np.testing.assert_array_equal(got, ids)
+            gw = np.concatenate(
+                [blocks[m[0] + b, c : 2 * c] for b in range(nb)]
+            )[: deg[v]].view(np.float32)
+            np.testing.assert_allclose(gw, w)
+            # meta CDF ends at wtot; block mins match block firsts
+            cdf = m[4:66].view(np.float32)
+            np.testing.assert_allclose(cdf[nb - 1], w.sum(), rtol=1e-5)
+            np.testing.assert_allclose(m[2:3].view(np.float32)[0], cdf[nb - 1])
+            for b in range(nb):
+                assert m[66 + b] == ids[b * c]
+            assert (m[66 + nb : 128] == PAD_ID).all()
+
+
+def test_builder_reverse_weights():
+    """rev_w[i] must equal the weight of the reverse edge (0 if absent)."""
+    src = np.array([0, 0, 1, 2], dtype=np.int32)
+    dst = np.array([1, 2, 0, 3], dtype=np.int32)
+    w = np.array([1.5, 2.5, 7.0, 3.0], dtype=np.float32)
+    g = from_edge_arrays(src, dst, w, directed=True)
+    bg = build_blocked_graph(g.indptr, g.indices, g.weights, light_width=8)
+    light = np.asarray(bg.light)
+    p_l = bg.light_width
+    # edge 0->1 has reverse 1->0 with weight 7.0; 0->2 has none (2->3 only)
+    row0 = light[0]
+    ids0 = row0[:p_l]
+    rev0 = row0[2 * p_l :].view(np.float32)
+    assert rev0[np.where(ids0 == 1)[0][0]] == 7.0
+    assert rev0[np.where(ids0 == 2)[0][0]] == 0.0
+
+
+def test_capacity_guard():
+    hub_deg = 600
+    nbrs = np.arange(1, hub_deg + 1, dtype=np.int32)
+    g = from_edge_arrays(np.zeros(hub_deg, np.int32), nbrs, directed=True)
+    with pytest.raises(ValueError, match="capacity"):
+        build_blocked_graph(g.indptr, g.indices, g.weights, block_width=8)
+    assert MAX_BLOCKS * 8 < hub_deg
+
+
+@pytest.mark.parametrize("p,q", [(1.0, 1.0), (0.25, 4.0), (4.0, 0.25), (2.0, 0.5)])
+def test_heavy_cur_transition_distribution(p, q):
+    """Transitions OUT of a multi-block hub must follow the analytic p/q
+    law: hierarchical CDF proposal + membership against a light prev."""
+    g = _hub_graph()
+    params = Node2VecParams(
+        num_walks=12000, walk_length=2, return_param=p, inout_param=q,
+        walker_chunk=1 << 14,
+    )
+    engine = WalkEngine(g, params, strategy="blocked")
+    walks = engine.run(seed=11, start_vertices=np.array([5], dtype=np.int32))
+    # step 0: first-order from light vertex 5; probe walks that went 5 -> 0
+    took = walks[:, 1] == 0
+    nxt = walks[took, 2]
+    assert took.sum() > 3000
+    # analytic target over N(0) = 1..600: back-edge 5 gets 1/p; shared =
+    # N(5)\{0} = ring neighbors of 5; everything else 1/q
+    ids, w = g.neighbors(0)
+    n5 = set(g.neighbors(5)[0].tolist()) - {0}
+    bias = np.where(
+        ids == 5, 1.0 / p, np.where(np.isin(ids, list(n5)), 1.0, 1.0 / q)
+    )
+    target = w * bias
+    target = target / target.sum()
+    # coarse bins: back | shared | 8 groups of the rest (keeps expected>5)
+    rest = ~np.isin(ids, [5] + list(n5))
+    bins = [np.isin(ids, [5]), np.isin(ids, list(n5))]
+    rest_idx = np.where(rest)[0]
+    for grp in np.array_split(rest_idx, 8):
+        m = np.zeros(len(ids), bool)
+        m[grp] = True
+        bins.append(m)
+    counts = np.array(
+        [np.isin(nxt, ids[m]).sum() for m in bins], dtype=np.float64
+    )
+    expected = np.array([target[m].sum() for m in bins]) * counts.sum()
+    res = stats.chisquare(counts, expected)
+    assert res.pvalue > 1e-4, (p, q, counts, expected)
+
+
+@pytest.mark.parametrize("p,q", [(0.25, 4.0), (2.0, 0.5)])
+def test_heavy_prev_membership_distribution(p, q):
+    """Transitions FROM a light vertex with a heavy prev exercise the
+    block-min membership search against the hub's neighbor set.
+
+    Aggregated over all first hops x: from each ring vertex x (prev = hub),
+    the next step is back (hub, 1/p), a ring neighbor (∈ N(hub) ⇒ shared, 1),
+    or the far vertex (∉ N(hub) ⇒ 1/q).
+    """
+    hub_deg = 600
+    far = hub_deg + 1
+    g = _hub_graph(hub_deg, with_far=True)
+    params = Node2VecParams(
+        num_walks=20000, walk_length=2, return_param=p, inout_param=q,
+        walker_chunk=1 << 15,
+    )
+    engine = WalkEngine(g, params, strategy="blocked")
+    walks = engine.run(seed=17, start_vertices=np.array([0], dtype=np.int32))
+    x = walks[:, 1]
+    y = walks[:, 2]
+    # per first-hop vertex: analytic class probabilities from its weights
+    p_back = np.zeros(far + 1)
+    p_far = np.zeros(far + 1)
+    for v in range(1, hub_deg + 1):
+        ids, w = g.neighbors(v)
+        bias = np.where(
+            ids == 0, 1.0 / p, np.where(ids == far, 1.0 / q, 1.0)
+        )
+        tw = w * bias
+        tw = tw / tw.sum()
+        p_back[v] = tw[ids == 0].sum()
+        p_far[v] = tw[ids == far].sum()
+    n_x = np.bincount(x, minlength=far + 1).astype(np.float64)
+    exp_back = float((n_x * p_back).sum())
+    exp_far = float((n_x * p_far).sum())
+    exp_shared = n_x[1 : hub_deg + 1].sum() - exp_back - exp_far
+    counts = np.array(
+        [(y == 0).sum(), ((y >= 1) & (y <= hub_deg)).sum(), (y == far).sum()],
+        dtype=np.float64,
+    )
+    res = stats.chisquare(counts, [exp_back, exp_shared, exp_far])
+    assert res.pvalue > 1e-4, (p, q, counts, [exp_back, exp_shared, exp_far])
+
+
+def test_chunk_invariance():
+    """The blocked engine's counter-based RNG makes walks BIT-IDENTICAL
+    across walker_chunk sizes — the property the other engines lack."""
+    g = _hub_graph()
+    kw = dict(num_walks=3, walk_length=6, return_param=0.5, inout_param=2.0)
+    w_small = WalkEngine(
+        g, Node2VecParams(walker_chunk=128, **kw), strategy="blocked"
+    ).run(seed=5)
+    w_big = WalkEngine(
+        g, Node2VecParams(walker_chunk=1 << 15, **kw), strategy="blocked"
+    ).run(seed=5)
+    np.testing.assert_array_equal(w_small, w_big)
+
+
+def test_determinism_and_seed_variation():
+    g = _hub_graph()
+    params = Node2VecParams(num_walks=2, walk_length=5, return_param=0.5,
+                            inout_param=2.0)
+    e = WalkEngine(g, params, strategy="blocked")
+    w1 = e.run(seed=3)
+    w2 = e.run(seed=3)
+    np.testing.assert_array_equal(w1, w2)
+    assert (e.run(seed=4) != w1).any()
+
+
+def test_sink_death_and_padding():
+    # 0 -> 1 -> (sink 2); vertex 3 isolated
+    src = np.array([0, 1], dtype=np.int32)
+    dst = np.array([1, 2], dtype=np.int32)
+    g = from_edge_arrays(src, dst, n_vertices=4, directed=True)
+    bg = build_blocked_graph(g.indptr, g.indices, g.weights, light_width=8)
+    starts = jnp.asarray(np.array([0, 3, -1], dtype=np.int32))
+    gids = jnp.arange(3, dtype=jnp.int32)
+    paths, n_fb = blocked_walk_chunk(
+        bg.light, bg.meta, bg.blocks, starts, gids, jnp.uint32(0),
+        walk_length=4, return_param=1.0, inout_param=1.0, max_trials=16,
+        light_width=bg.light_width, block_width=bg.block_width,
+        has_heavy=bg.has_heavy,
+    )
+    paths = np.asarray(paths)
+    np.testing.assert_array_equal(paths[0], [0, 1, 2, -1, -1])  # dies at sink
+    np.testing.assert_array_equal(paths[1], [3, -1, -1, -1, -1])  # isolated
+    np.testing.assert_array_equal(paths[2], [-1, -1, -1, -1, -1])  # padding
+    assert int(n_fb) == 0
+
+
+def test_fallback_counting():
+    """With a 1-trial cap and q>>1, some lanes must take the ∝w fallback and
+    the engine must surface the count."""
+    g = _hub_graph()
+    params = Node2VecParams(
+        num_walks=50, walk_length=8, return_param=1.0, inout_param=8.0,
+        max_rejection_trials=1,
+    )
+    e = WalkEngine(g, params, strategy="blocked")
+    e.run(seed=2)
+    assert e.fallback_count > 0
+
+
+def test_sharded_matches_single_device():
+    """8-way sharded blocked walks must be bit-identical to single-device
+    (counter-based RNG ⇒ layout invariance)."""
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:8]).reshape(8, 1)
+    mesh = Mesh(devs, ("data", "model"))
+    g = _hub_graph()
+    params = Node2VecParams(num_walks=2, walk_length=5, return_param=0.5,
+                            inout_param=2.0)
+    w_single = WalkEngine(g, params, strategy="blocked").run(seed=7)
+    w_sharded = WalkEngine(g, params, strategy="blocked", mesh=mesh).run(seed=7)
+    np.testing.assert_array_equal(w_single, w_sharded)
+
+
+def test_hashrng_uniformity():
+    from node2vec_tpu.ops.hashrng import hash_uniform
+
+    gids = jnp.arange(20000, dtype=jnp.int32)
+    u = np.asarray(hash_uniform(jnp.uint32(42), gids.astype(jnp.uint32), 7))
+    assert (u >= 0).all() and (u < 1).all()
+    counts, _ = np.histogram(u, bins=20, range=(0, 1))
+    res = stats.chisquare(counts)
+    assert res.pvalue > 1e-4, counts
+    # draws at different counters decorrelate
+    u2 = np.asarray(hash_uniform(jnp.uint32(42), gids.astype(jnp.uint32), 8))
+    assert abs(np.corrcoef(u, u2)[0, 1]) < 0.05

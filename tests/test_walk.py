@@ -171,8 +171,8 @@ def test_run_device_matches_run(karate_edges):
     np.testing.assert_array_equal(w_host, w_dev)
 
 
-def test_heavy_tail_auto_selects_csr_engine():
-    """A hub vertex above the dense cap must route to the CSR rejection
+def test_heavy_tail_auto_selects_blocked_engine():
+    """A hub vertex above the dense cap must route to the blocked heavy-tail
     engine automatically, end to end."""
     hub_degree = 300
     src = np.concatenate([np.zeros(hub_degree, np.int32),
@@ -183,7 +183,7 @@ def test_heavy_tail_auto_selects_csr_engine():
     params = Node2VecParams(num_walks=2, walk_length=5,
                             return_param=0.5, inout_param=2.0)
     engine = WalkEngine(g, params)
-    assert engine.strategy == "csr"
+    assert engine.strategy == "blocked"
     walks = engine.run(seed=1)
     assert walks.shape == (2 * (hub_degree + 1), 6)
     _edges_valid(g, walks)
