@@ -179,6 +179,40 @@ def stage_eval(args) -> None:
     print(json.dumps(result))
 
 
+def stage_quality(args) -> None:
+    from node2vec_tpu.constants import Node2VecParams, Word2VecParams
+    from node2vec_tpu.datasets import (
+        load_mat_dataset,
+        run_quality,
+        synthetic_multilabel,
+    )
+
+    if args.input == "synthetic":
+        g, labels = synthetic_multilabel(seed=args.seed)
+    else:
+        g, labels = load_mat_dataset(args.input)
+    n2v = Node2VecParams(
+        num_walks=args.num_walks,
+        walk_length=args.walk_length,
+        return_param=args.p,
+        inout_param=args.q,
+    )
+    w2v = Word2VecParams(
+        min_count=1,
+        vector_size=args.dim,
+        max_iter=args.epochs,
+        window_size=args.window,
+    )
+    ratios = [float(r) for r in args.train_ratios.split(",")]
+    t0 = time.time()
+    result = run_quality(
+        g, labels, n2v, w2v, train_ratios=ratios, seed=args.seed
+    )
+    result["wall_s"] = round(time.time() - t0, 1)
+    result["dataset"] = args.input
+    print(json.dumps(result))
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="node2vec_tpu")
     sub = parser.add_subparsers(dest="stage", required=True)
@@ -217,10 +251,34 @@ def main(argv=None) -> int:
     p_eval.add_argument("--labels", default=None, help="file: vertex_id label")
     p_eval.add_argument("--train-ratio", type=float, default=0.5)
 
+    p_q = sub.add_parser(
+        "quality",
+        help="benchmark-dataset protocol: walks -> SGNS -> multi-label F1 "
+        "(node2vec paper §4.3); --input is a DeepWalk-format .mat "
+        "(BlogCatalog/PPI/Wikipedia) or 'synthetic'",
+    )
+    p_q.add_argument("--input", required=True, help=".mat path or 'synthetic'")
+    p_q.add_argument("--num-walks", type=int, default=10)
+    p_q.add_argument("--walk-length", type=int, default=80)
+    p_q.add_argument("-p", type=float, default=1.0, dest="p")
+    p_q.add_argument("-q", type=float, default=1.0, dest="q")
+    p_q.add_argument("--dim", type=int, default=128)
+    p_q.add_argument("--epochs", type=int, default=5)
+    p_q.add_argument("--window", type=int, default=10)
+    p_q.add_argument(
+        "--train-ratios", default="0.1,0.5,0.9",
+        help="comma-separated label-train fractions",
+    )
+    p_q.add_argument("--seed", type=int, default=0)
+
     args = parser.parse_args(argv)
-    {"index": stage_index, "walk": stage_walk, "embed": stage_embed, "eval": stage_eval}[
-        args.stage
-    ](args)
+    {
+        "index": stage_index,
+        "walk": stage_walk,
+        "embed": stage_embed,
+        "eval": stage_eval,
+        "quality": stage_quality,
+    }[args.stage](args)
     return 0
 
 

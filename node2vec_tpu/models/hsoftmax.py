@@ -1,0 +1,239 @@
+"""Hierarchical-softmax skip-gram trainer (the reference's DEFAULT objective).
+
+Both reference backends train HS by default: gensim with ``negative=0``
+(``/root/reference/node2vec/constants.py:65``) and spark.ml's Word2Vec, which
+is HS-only (invoked at ``embedding.py:240``, ``spark.py:629``).  Round 1
+shipped SGNS only; this closes the objective-parity gap: set
+``Word2VecParams(negative=0)`` and the trainer switches here.
+
+Design: a Huffman tree over vertex frequencies (shorter codes for frequent
+vertices, exactly word2vec's construction) gives every vertex a path of inner
+nodes; P(context | center) = Π_j σ((1-2·code_j) · v_center · θ_{path_j}).
+On TPU the per-pair path loop becomes dense batched einsums over a fixed
+``[B, L1, CODE_LEN, D]`` gather of path vectors — padded to the max code
+length with masked lanes, MXU-friendly.  HS fetches ~code_len× more rows per
+pair than shared-negative SGNS, which is why SGNS stays the performance
+default; HS is the parity option.
+"""
+
+from __future__ import annotations
+
+import functools
+import heapq
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from node2vec_tpu.models.skipgram import _log_sigmoid
+
+
+class HuffmanTree(NamedTuple):
+    points: np.ndarray  # [V, L] int32 inner-node ids along the path (root first)
+    codes: np.ndarray  # [V, L] int8 branch bits
+    lengths: np.ndarray  # [V] int32 code lengths
+    n_inner: int
+
+
+def build_huffman(counts: np.ndarray) -> HuffmanTree:
+    """word2vec Huffman coding over vertex frequencies.
+
+    Zero-count vertices get count 1 so every vertex has a valid path (they are
+    masked out of training by the vocab mask anyway).
+    """
+    counts = np.maximum(np.asarray(counts, dtype=np.int64), 1)
+    n = len(counts)
+    if n == 1:
+        return HuffmanTree(
+            np.zeros((1, 1), np.int32), np.zeros((1, 1), np.int8),
+            np.ones(1, np.int32), 1,
+        )
+    # heap of (count, tiebreak, node_id); leaves 0..n-1, inner n..2n-2
+    heap = [(int(c), i, i) for i, c in enumerate(counts)]
+    heapq.heapify(heap)
+    parent = np.zeros(2 * n - 1, dtype=np.int64)
+    branch = np.zeros(2 * n - 1, dtype=np.int8)
+    nxt = n
+    while len(heap) > 1:
+        c1, _, a = heapq.heappop(heap)
+        c2, _, b = heapq.heappop(heap)
+        parent[a] = nxt
+        parent[b] = nxt
+        branch[b] = 1
+        heapq.heappush(heap, (c1 + c2, nxt, nxt))
+        nxt += 1
+    root = nxt - 1
+    n_inner = nxt - n
+
+    max_len = 0
+    paths = []
+    for v in range(n):
+        code = []
+        pts = []
+        node = v
+        while node != root:
+            code.append(branch[node])
+            pts.append(parent[node] - n)  # inner-node id in [0, n_inner)
+            node = parent[node]
+        code.reverse()
+        pts.reverse()
+        paths.append((pts, code))
+        max_len = max(max_len, len(code))
+
+    points = np.zeros((n, max_len), dtype=np.int32)
+    codes = np.zeros((n, max_len), dtype=np.int8)
+    lengths = np.zeros(n, dtype=np.int32)
+    for v, (pts, code) in enumerate(paths):
+        points[v, : len(pts)] = pts
+        codes[v, : len(code)] = code
+        lengths[v] = len(code)
+    return HuffmanTree(points, codes, lengths, n_inner)
+
+
+def hs_walk_step_impl(
+    emb_in: jnp.ndarray,  # [V, D]
+    theta: jnp.ndarray,  # [n_inner, D] inner-node vectors
+    acc_in: jnp.ndarray,  # [V]
+    acc_theta: jnp.ndarray,  # [n_inner]
+    walks: jnp.ndarray,  # [B, L1] int32
+    key: jax.Array,
+    lr: jnp.ndarray,
+    hs_points: jnp.ndarray,  # [V, CL] int32
+    hs_codes: jnp.ndarray,  # [V, CL] int8
+    hs_len: jnp.ndarray,  # [V] int32
+    vocab_mask: jnp.ndarray,
+    *,
+    window: int,
+    shrink_window: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One HS step over a walk batch (positional structure like
+    sgns_walk_step_impl: per-position path gathers, shifted-window products).
+
+    For each valid (center i, context i+d) pair:
+      loss -= Σ_j mask_j · log σ(sgn_j · v_in[center] · θ[point_j(context)])
+    with sgn = 1-2·code.
+    """
+    n_walks, length = walks.shape
+    dim = emb_in.shape[1]
+    cl = hs_points.shape[1]
+    k_shrink = key
+
+    walks_safe = jnp.where(walks >= 0, walks, 0)
+    valid_pos = (walks >= 0) & vocab_mask[walks_safe]
+    x_in = emb_in[walks_safe]  # [B, L1, D]
+    pts = hs_points[walks_safe]  # [B, L1, CL] — path of each position's vertex
+    cds = hs_codes[walks_safe].astype(jnp.float32)
+    plen = hs_len[walks_safe]
+    pmask = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_walks, length, cl), 2)
+        < plen[..., None]
+    ).astype(jnp.float32)
+    th = theta[pts]  # [B, L1, CL, D] — the big gather
+    sgn = 1.0 - 2.0 * cds  # [B, L1, CL]
+
+    offsets = [d for d in range(-window, window + 1) if d != 0]
+    if shrink_window:
+        b_sh = jax.random.randint(k_shrink, (n_walks, length), 1, window + 1)
+    else:
+        b_sh = jnp.full((n_walks, length), window, dtype=jnp.int32)
+
+    def shift(x, d, fill=0):
+        pad_width = [(0, 0), (window, window)] + [(0, 0)] * (x.ndim - 2)
+        xp = jnp.pad(x, pad_width, constant_values=fill)
+        return jax.lax.dynamic_slice_in_dim(xp, d + window, length, axis=1)
+
+    g_in = jnp.zeros_like(x_in)
+    g_th = jnp.zeros_like(th)  # accumulated per context position's path
+    loss = jnp.float32(0.0)
+    n_pairs = jnp.float32(0.0)
+
+    for d in offsets:
+        th_c = shift(th, d)  # context's path vectors at the center position
+        sgn_c = shift(sgn, d)
+        pm_c = shift(pmask, d)
+        pv = (valid_pos & shift(valid_pos, d) & (abs(d) <= b_sh)).astype(
+            jnp.float32
+        )
+        # logits over the path: [B, L1, CL]
+        logit = jnp.einsum(
+            "bld,blcd->blc", x_in, th_c, preferred_element_type=jnp.float32
+        )
+        m = pv[..., None] * pm_c
+        loss = loss - jnp.sum(_log_sigmoid(sgn_c * logit) * m)
+        n_pairs = n_pairs + jnp.sum(pv)
+        # d/dlogit of -logσ(s·x) = σ(x) - t with 0/1 target t = (1+s)/2
+        # (code 0 → s=+1 → target 1; code 1 → s=-1 → target 0)
+        g = (jax.nn.sigmoid(logit) - (1.0 + sgn_c) / 2.0) * m
+        g_in = g_in + jnp.einsum(
+            "blc,blcd->bld", g, th_c, preferred_element_type=jnp.float32
+        )
+        g_th = g_th + shift(
+            jnp.einsum("blc,bld->blcd", g, x_in,
+                       preferred_element_type=jnp.float32),
+            -d,
+        )
+
+    n_pairs = jnp.maximum(n_pairs, 1.0)
+    loss = loss / n_pairs
+
+    # row-wise Adagrad, one scatter per table
+    eps = 1e-12
+    rows = walks_safe.reshape(-1)
+    row_valid = (walks >= 0).reshape(-1).astype(jnp.float32)
+    g_in_flat = g_in.reshape(-1, dim)
+    prow = pts.reshape(-1)
+    g_th_flat = g_th.reshape(-1, dim)
+    th_valid = (pmask.reshape(-1) > 0).astype(jnp.float32) * jnp.repeat(
+        row_valid, cl
+    )
+
+    sq_in = jnp.mean(g_in_flat * g_in_flat, axis=-1) * row_valid
+    sq_th = jnp.mean(g_th_flat * g_th_flat, axis=-1) * th_valid
+    acc_in = acc_in.at[rows].add(sq_in)
+    acc_theta = acc_theta.at[prow].add(sq_th)
+    scale_in = jax.lax.rsqrt(acc_in[rows] + eps) * row_valid
+    scale_th = jax.lax.rsqrt(acc_theta[prow] + eps) * th_valid
+
+    emb_in = emb_in.at[rows].add(-lr * g_in_flat * scale_in[:, None])
+    theta = theta.at[prow].add(-lr * g_th_flat * scale_th[:, None])
+    return emb_in, theta, acc_in, acc_theta, loss
+
+
+def _hs_epoch_impl(
+    emb_in, theta, acc_in, acc_theta, corpus, key, step0, lr0, lr_slope,
+    hs_points, hs_codes, hs_len, vocab_mask, *,
+    batch: int, n_batches: int, window: int, shrink_window: bool,
+    min_lr: float,
+):
+    """A whole HS epoch inside one jit (lax.scan), like sgns_epoch."""
+
+    def body(state, b):
+        emb_in, theta, acc_in, acc_theta = state
+        gstep = step0 + b
+        lr = jnp.maximum(lr0 - lr_slope * gstep.astype(jnp.float32), min_lr)
+        wb = jax.lax.dynamic_slice_in_dim(corpus, b * batch, batch, axis=0)
+        emb_in, theta, acc_in, acc_theta, loss = hs_walk_step_impl(
+            emb_in, theta, acc_in, acc_theta, wb,
+            jax.random.fold_in(key, gstep), lr,
+            hs_points, hs_codes, hs_len, vocab_mask,
+            window=window, shrink_window=shrink_window,
+        )
+        return (emb_in, theta, acc_in, acc_theta), loss
+
+    state, losses = jax.lax.scan(
+        body,
+        (emb_in, theta, acc_in, acc_theta),
+        jnp.arange(n_batches, dtype=jnp.int32),
+    )
+    return (*state, losses)
+
+
+hs_epoch = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "batch", "n_batches", "window", "shrink_window", "min_lr",
+    ),
+    donate_argnames=("emb_in", "theta", "acc_in", "acc_theta"),
+)(_hs_epoch_impl)

@@ -67,6 +67,10 @@ class Word2VecTPU:
             raise ValueError(
                 f"No vertex meets min_count={p.min_count}; corpus too small"
             )
+        if p.negative == 0:
+            # reference default objective: hierarchical softmax (gensim
+            # negative=0, constants.py:65; spark.ml Word2Vec is HS-only)
+            return self._fit_hs(walks, is_device, verbose, timer)
 
         emb_in, emb_out, acc_in, acc_out = init_embeddings(
             n_v, p.vector_size, seed=p.seed
@@ -156,6 +160,76 @@ class Word2VecTPU:
 
         self.emb_in = np.asarray(emb_in)
         self.emb_out = np.asarray(emb_out)
+        return self
+
+    def _fit_hs(self, walks, is_device, verbose, timer=None) -> "Word2VecTPU":
+        """Hierarchical-softmax training path (params.negative == 0).
+
+        Same epoch structure as the SGNS path — device-resident corpus,
+        on-device shuffle, one jit dispatch per epoch — with the Huffman-tree
+        objective of models.hsoftmax.  ``emb_out`` holds the [V-1, D]
+        inner-node vectors (word2vec's syn1).
+        """
+        from node2vec_tpu.models.hsoftmax import build_huffman, hs_epoch
+
+        p = self.params
+        n_v = self.vocab.n_vertices
+        tree = build_huffman(self.vocab.counts)
+        hs_points = jnp.asarray(tree.points)
+        hs_codes = jnp.asarray(tree.codes)
+        hs_len = jnp.asarray(tree.lengths)
+        vocab_mask = jnp.asarray(self.vocab.mask)
+
+        key = jax.random.PRNGKey(p.seed)
+        emb_in = jax.random.uniform(
+            key, (n_v, p.vector_size), jnp.float32,
+            -0.5 / p.vector_size, 0.5 / p.vector_size,
+        )
+        theta = jnp.zeros((tree.n_inner, p.vector_size), jnp.float32)
+        acc_in = jnp.zeros((n_v,), jnp.float32)
+        acc_theta = jnp.zeros((tree.n_inner,), jnp.float32)
+
+        n_walks = len(walks)
+        batch = min(p.batch_walks, n_walks)
+        n_batches = (n_walks + batch - 1) // batch
+        total_steps = max(p.max_iter * n_batches, 1)
+        n_padded = n_batches * batch
+        if is_device:
+            corpus = walks.astype(jnp.int32)
+            if n_padded > n_walks:
+                pad = jnp.full((n_padded - n_walks, walks.shape[1]), -1, jnp.int32)
+                corpus = jnp.concatenate([corpus, pad])
+        else:
+            corpus_host = np.full((n_padded, walks.shape[1]), -1, dtype=np.int32)
+            corpus_host[:n_walks] = walks
+            corpus = jnp.asarray(corpus_host)
+
+        lr_slope = p.step_size / total_steps
+        self._losses = []
+        for epoch in range(p.max_iter):
+            k_shuffle = jax.random.fold_in(key, 1_000_000 + epoch)
+            shuffled = corpus[jax.random.permutation(k_shuffle, n_padded)]
+            ctx = timer.measure("hs_epoch") if timer is not None else None
+            if ctx is not None:
+                ctx.__enter__()
+            emb_in, theta, acc_in, acc_theta, losses = hs_epoch(
+                emb_in, theta, acc_in, acc_theta, shuffled, key,
+                jnp.int32(epoch * n_batches), jnp.float32(p.step_size),
+                jnp.float32(lr_slope), hs_points, hs_codes, hs_len,
+                vocab_mask,
+                batch=batch, n_batches=n_batches, window=p.window_size,
+                shrink_window=p.shrink_window, min_lr=p.min_step_size,
+            )
+            if ctx is not None:
+                ctx.__exit__(None, None, None)
+            self._losses.append(float(losses.mean()))
+            if verbose:
+                logger.info(
+                    "hs epoch %d/%d loss=%.4f", epoch + 1, p.max_iter,
+                    self._losses[-1],
+                )
+        self.emb_in = np.asarray(emb_in)
+        self.emb_out = np.asarray(theta)
         return self
 
     def fit_sharded(

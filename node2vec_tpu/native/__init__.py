@@ -78,6 +78,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int32,
     ]
+    lib.n2v_edge_has_shared.restype = ctypes.c_int
+    lib.n2v_edge_has_shared.argtypes = [
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32,
+    ]
     lib.n2v_mirror_dedup.restype = ctypes.c_int64
     lib.n2v_mirror_dedup.argtypes = [
         ctypes.c_int64,
@@ -150,6 +158,23 @@ def build_alias_csr(indptr: np.ndarray, weights: np.ndarray) -> Tuple[np.ndarray
     if rc != 0:
         raise ValueError(f"n2v_build_alias failed with status {rc} (non-positive row weight?)")
     return alias, prob
+
+
+def edge_has_shared(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """uint8[e] = 1 iff the edge closes a triangle (sorted-row merge)."""
+    lib = _load()
+    assert lib is not None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    out = np.zeros(len(indices), dtype=np.uint8)
+    lib.n2v_edge_has_shared(
+        len(indptr) - 1,
+        _ptr(indptr, ctypes.c_int64),
+        _ptr(indices, ctypes.c_int32),
+        _ptr(out, ctypes.c_uint8),
+        _N_THREADS,
+    )
+    return out
 
 
 def mirror_dedup(

@@ -174,4 +174,33 @@ int64_t n2v_mirror_dedup(int64_t n_edges, const int32_t* src, const int32_t* dst
   return count;
 }
 
+// Per-edge triangle bit: out[e] = 1 iff N(src_e) ∩ N(dst_e) is non-empty
+// (neighbor rows sorted ascending; two-pointer merge with early exit).
+//
+// The blocked walk engine uses this to tighten its rejection bound: when the
+// arrival edge closes no triangle, every non-return candidate is in the 1/q
+// bias class and the acceptance probability becomes 1 (walk/blocked.py).
+// A conservative all-ones vector is always CORRECT — this only buys speed.
+int n2v_edge_has_shared(int32_t n_vertices, const int64_t* indptr,
+                        const int32_t* indices, uint8_t* out,
+                        int32_t n_threads) {
+  int64_t n_edges = indptr[n_vertices];
+  parallel_for(n_edges, n_threads, [&](int64_t e) {
+    // binary-search the owning row of edge e
+    int32_t u = static_cast<int32_t>(
+        std::upper_bound(indptr, indptr + n_vertices + 1, e) - indptr - 1);
+    int32_t v = indices[e];
+    int64_t a = indptr[u], a_end = indptr[u + 1];
+    int64_t b = indptr[v], b_end = indptr[v + 1];
+    uint8_t found = 0;
+    while (a < a_end && b < b_end) {
+      int32_t x = indices[a], y = indices[b];
+      if (x == y) { found = 1; break; }
+      if (x < y) ++a; else ++b;
+    }
+    out[e] = found;
+  });
+  return 0;
+}
+
 }  // extern "C"

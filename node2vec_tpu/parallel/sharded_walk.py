@@ -88,13 +88,14 @@ def _build_sharded_blocked_walk(
 ):
     from node2vec_tpu.walk.blocked import blocked_walk_chunk_impl
 
-    def shard_fn(light, meta, blocks, starts_shard, gids_shard, seed):
+    def shard_fn(light, biw, bids, brp, starts_shard, gids_shard, seed):
         # no per-shard key fold needed: the blocked engine's RNG is counter-
         # based on global walker ids, so results are layout-invariant
         paths, n_fb = blocked_walk_chunk_impl(
             light,
-            meta,
-            blocks,
+            biw,
+            bids,
+            brp,
             starts_shard,
             gids_shard,
             seed,
@@ -111,7 +112,7 @@ def _build_sharded_blocked_walk(
     mapped = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis_name), P(axis_name), P()),
+        in_specs=(P(), P(), P(), P(), P(axis_name), P(axis_name), P()),
         out_specs=(P(axis_name, None), P(axis_name)),
         check_vma=False,
     )
@@ -121,8 +122,9 @@ def _build_sharded_blocked_walk(
 def sharded_blocked_walk_chunk(
     mesh: Mesh,
     light: jax.Array,
-    meta: jax.Array,
-    blocks: jax.Array,
+    biw: jax.Array,
+    bids: jax.Array,
+    brp: jax.Array,
     starts: jax.Array,
     gids: jax.Array,
     seed: jax.Array,
@@ -131,12 +133,12 @@ def sharded_blocked_walk_chunk(
     return_param: float,
     inout_param: float,
     max_trials: int = 64,
-    light_width: int = 64,
+    light_width: int = 32,
     block_width: int = 256,
     has_heavy: bool = True,
     axis_name: str = "data",
 ):
-    """Blocked-engine sharded walk: walkers over ``axis_name``, both adjacency
+    """Blocked-engine sharded walk: walkers over ``axis_name``, the adjacency
     tables replicated per device.  Returns (paths, per-shard fallback counts)."""
     fn = _build_sharded_blocked_walk(
         mesh,
@@ -149,7 +151,7 @@ def sharded_blocked_walk_chunk(
         has_heavy,
         axis_name,
     )
-    return fn(light, meta, blocks, starts, gids, seed)
+    return fn(light, biw, bids, brp, starts, gids, seed)
 
 
 @functools.lru_cache(maxsize=16)

@@ -314,8 +314,8 @@ class WalkEngine:
             w_cap = max(1024, (1 << 25) // self.packed_adj.shape[1])
             chunk = min(chunk, w_cap)
         elif self.strategy == "blocked":
-            # bound the carried per-walker state (2 rows + 2 meta + path)
-            per_walker = 6 * self.bgraph.light_width + 256
+            # bound the carried per-walker state (row + prev_mem + path)
+            per_walker = 6 * self.bgraph.light_width + self.params.walk_length
             w_cap = max(1024, (1 << 26) // per_walker)
             chunk = min(chunk, w_cap)
         return chunk
@@ -344,8 +344,9 @@ class WalkEngine:
             gids = jnp.arange(gid_base, gid_base + len(chunk_starts), dtype=jnp.int32)
             paths, n_fb = blocked_walk_chunk(
                 bg.light,
-                bg.meta,
-                bg.blocks,
+                bg.biw,
+                bg.bids,
+                bg.brp,
                 jnp.asarray(chunk_starts),
                 gids,
                 jnp.uint32(seed & 0xFFFFFFFF),
@@ -413,8 +414,9 @@ class WalkEngine:
             out, n_fb = sharded_blocked_walk_chunk(
                 self.mesh,
                 bg.light,
-                bg.meta,
-                bg.blocks,
+                bg.biw,
+                bg.bids,
+                bg.brp,
                 starts,
                 gids,
                 jnp.uint32(seed & 0xFFFFFFFF),

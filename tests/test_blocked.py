@@ -17,9 +17,10 @@ from node2vec_tpu.constants import Node2VecParams
 from node2vec_tpu.graph import from_edge_arrays
 from node2vec_tpu.walk import WalkEngine
 from node2vec_tpu.walk.blocked import (
-    MAX_BLOCKS,
+    MAG,
     PAD_ID,
     BlockedGraph,
+    _max_blocks,
     build_blocked_graph,
     blocked_walk_chunk,
 )
@@ -52,9 +53,10 @@ def test_builder_structure_roundtrip():
     assert isinstance(bg, BlockedGraph)
     assert bg.has_heavy
     light = np.asarray(bg.light)
-    meta = np.asarray(bg.meta)
-    blocks = np.asarray(bg.blocks)
+    biw = np.asarray(bg.biw)
+    bids = np.asarray(bg.bids)
     p_l, c = bg.light_width, bg.block_width
+    maxb = _max_blocks(p_l)
     deg = g.out_degrees()
 
     for v in [0, 1, 2, 17, 300]:
@@ -65,52 +67,65 @@ def test_builder_structure_roundtrip():
             assert (row_ids[len(ids):] == PAD_ID).all()
             row_w = light[v, p_l : p_l + len(ids)].view(np.float32)
             np.testing.assert_allclose(row_w, w)
-        else:  # heavy: blocks must concatenate to the CSR segment
-            rank = -(int(light[v, 0])) - 2
-            m = meta[rank]
-            nb = m[1]
-            assert m[3] == deg[v]
-            got = np.concatenate(
-                [blocks[m[0] + b, :c] for b in range(nb)]
-            )[: deg[v]]
+        else:  # heavy: header + blocks must reproduce the CSR segment
+            hdr = light[v]
+            assert hdr[0] == -2 and hdr[4] == deg[v]
+            bs, nb = hdr[1], hdr[2]
+            got = np.concatenate([biw[bs + b, :c] for b in range(nb)])[: deg[v]]
             np.testing.assert_array_equal(got, ids)
+            np.testing.assert_array_equal(
+                np.concatenate([bids[bs + b] for b in range(nb)])[: deg[v]], ids
+            )
             gw = np.concatenate(
-                [blocks[m[0] + b, c : 2 * c] for b in range(nb)]
+                [biw[bs + b, c:] for b in range(nb)]
             )[: deg[v]].view(np.float32)
             np.testing.assert_allclose(gw, w)
-            # meta CDF ends at wtot; block mins match block firsts
-            cdf = m[4:66].view(np.float32)
+            # header CDF ends at wtot; block mins match block firsts
+            cdf = hdr[5 + maxb : 5 + 2 * maxb].view(np.float32)
             np.testing.assert_allclose(cdf[nb - 1], w.sum(), rtol=1e-5)
-            np.testing.assert_allclose(m[2:3].view(np.float32)[0], cdf[nb - 1])
+            np.testing.assert_allclose(hdr[3:4].view(np.float32)[0], cdf[nb - 1])
             for b in range(nb):
-                assert m[66 + b] == ids[b * c]
-            assert (m[66 + nb : 128] == PAD_ID).all()
+                assert hdr[5 + b] == ids[b * c]
+            assert (hdr[5 + nb : 5 + maxb] == PAD_ID).all()
 
 
-def test_builder_reverse_weights():
-    """rev_w[i] must equal the weight of the reverse edge (0 if absent)."""
-    src = np.array([0, 0, 1, 2], dtype=np.int32)
-    dst = np.array([1, 2, 0, 3], dtype=np.int32)
-    w = np.array([1.5, 2.5, 7.0, 3.0], dtype=np.float32)
+def test_builder_reverse_metadata():
+    """rev_w = weight of the reverse edge (0 if absent); pfx = CDF prefix of
+    the reverse vertex; has_shared triangle bit lives in the rev sign."""
+    # 0->1 (rev 7.0), 0->2 (no rev), 1->0, 2->3; triangle on {0,1,4}: 0->4,
+    # 1->4 makes edge 0->1 triangle-closing
+    src = np.array([0, 0, 1, 2, 0, 1, 4, 4], dtype=np.int32)
+    dst = np.array([1, 2, 0, 3, 4, 4, 0, 1], dtype=np.int32)
+    w = np.array([1.5, 2.5, 7.0, 3.0, 1.0, 1.0, 1.0, 1.0], dtype=np.float32)
     g = from_edge_arrays(src, dst, w, directed=True)
     bg = build_blocked_graph(g.indptr, g.indices, g.weights, light_width=8)
     light = np.asarray(bg.light)
     p_l = bg.light_width
-    # edge 0->1 has reverse 1->0 with weight 7.0; 0->2 has none (2->3 only)
     row0 = light[0]
     ids0 = row0[:p_l]
-    rev0 = row0[2 * p_l :].view(np.float32)
-    assert rev0[np.where(ids0 == 1)[0][0]] == 7.0
-    assert rev0[np.where(ids0 == 2)[0][0]] == 0.0
+    rev0_bits = row0[2 * p_l : 3 * p_l]
+    rev0 = (rev0_bits & MAG).view(np.float32)
+    shared0 = rev0_bits < 0
+    pfx0 = row0[3 * p_l :].view(np.float32)
+    i01 = np.where(ids0 == 1)[0][0]
+    i02 = np.where(ids0 == 2)[0][0]
+    assert rev0[i01] == 7.0
+    assert rev0[i02] == 0.0
+    assert shared0[i01]  # 4 ∈ N(0) ∩ N(1)
+    assert not shared0[i02]  # N(0) ∩ N(2) = ∅
+    # pfx of edge 0->1: prefix of 0 within N(1) = {0, 4}: 0 sorts first -> 0.0
+    assert pfx0[i01] == 0.0
 
 
 def test_capacity_guard():
-    hub_deg = 600
+    hub_deg = 2000
     nbrs = np.arange(1, hub_deg + 1, dtype=np.int32)
     g = from_edge_arrays(np.zeros(hub_deg, np.int32), nbrs, directed=True)
     with pytest.raises(ValueError, match="capacity"):
-        build_blocked_graph(g.indptr, g.indices, g.weights, block_width=8)
-    assert MAX_BLOCKS * 8 < hub_deg
+        build_blocked_graph(
+            g.indptr, g.indices, g.weights, light_width=8, block_width=64
+        )
+    assert _max_blocks(8) * 64 < hub_deg
 
 
 @pytest.mark.parametrize("p,q", [(1.0, 1.0), (0.25, 4.0), (4.0, 0.25), (2.0, 0.5)])
@@ -231,7 +246,7 @@ def test_sink_death_and_padding():
     starts = jnp.asarray(np.array([0, 3, -1], dtype=np.int32))
     gids = jnp.arange(3, dtype=jnp.int32)
     paths, n_fb = blocked_walk_chunk(
-        bg.light, bg.meta, bg.blocks, starts, gids, jnp.uint32(0),
+        bg.light, bg.biw, bg.bids, bg.brp, starts, gids, jnp.uint32(0),
         walk_length=4, return_param=1.0, inout_param=1.0, max_trials=16,
         light_width=bg.light_width, block_width=bg.block_width,
         has_heavy=bg.has_heavy,

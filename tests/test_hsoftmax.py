@@ -1,0 +1,90 @@
+"""Hierarchical-softmax trainer tests (the reference's default objective:
+gensim negative=0, reference constants.py:65; spark.ml is HS-only)."""
+
+import numpy as np
+
+from node2vec_tpu.constants import Node2VecParams, Word2VecParams
+from node2vec_tpu.graph import from_edge_arrays
+from node2vec_tpu.models import Word2VecTPU
+from node2vec_tpu.models.hsoftmax import build_huffman
+from node2vec_tpu.walk import random_walks
+
+
+def test_huffman_tree_invariants():
+    counts = np.array([50, 30, 10, 5, 3, 1, 1], dtype=np.int64)
+    tree = build_huffman(counts)
+    n = len(counts)
+    assert tree.n_inner == n - 1
+    # code lengths: frequent symbols get codes no longer than rare ones
+    assert tree.lengths[0] <= tree.lengths[5]
+    assert (tree.lengths >= 1).all()
+    # prefix-free: no full code is a prefix of another's code
+    codes = [
+        tuple(tree.codes[v, : tree.lengths[v]].tolist()) for v in range(n)
+    ]
+    assert len(set(codes)) == n
+    for a in codes:
+        for b in codes:
+            if a != b:
+                assert a != b[: len(a)]
+    # Kraft equality for a complete binary code: sum 2^-len == 1
+    assert abs(sum(2.0 ** -len(c) for c in codes) - 1.0) < 1e-9
+    # expected length within 1 bit of entropy (Huffman optimality)
+    p = counts / counts.sum()
+    entropy = -(p * np.log2(p)).sum()
+    avg = (p * tree.lengths).sum()
+    assert entropy <= avg <= entropy + 1
+
+
+def test_huffman_points_in_range():
+    rng = np.random.default_rng(0)
+    counts = rng.integers(1, 1000, 300)
+    tree = build_huffman(counts)
+    for v in range(300):
+        pts = tree.points[v, : tree.lengths[v]]
+        assert (pts >= 0).all() and (pts < tree.n_inner).all()
+        # root is first on every path
+        assert pts[0] == tree.n_inner - 1
+
+
+def test_hs_training_separates_cliques():
+    blocks = []
+    for b in range(2):
+        vs = np.arange(10) + 10 * b
+        s, d = np.meshgrid(vs, vs)
+        keep = s != d
+        blocks.append((s[keep], d[keep]))
+    src = np.concatenate([b[0] for b in blocks] + [[0]]).astype(np.int32)
+    dst = np.concatenate([b[1] for b in blocks] + [[10]]).astype(np.int32)
+    g = from_edge_arrays(src, dst, directed=False)
+    walks = random_walks(g, Node2VecParams(num_walks=30, walk_length=8), seed=0)
+    params = Word2VecParams(
+        min_count=1, vector_size=32, max_iter=6, negative=0, step_size=0.05,
+        batch_walks=128,
+    )
+    m = Word2VecTPU(params).fit(walks)
+    assert m.emb_out.shape[0] == g.n_vertices - 1  # inner nodes, not vocab
+    assert m._losses[-1] < m._losses[0]
+    emb = m.vectors / np.maximum(
+        np.linalg.norm(m.vectors, axis=1, keepdims=True), 1e-9
+    )
+    sim = emb @ emb.T
+    intra = (sim[:10, :10].sum() - 10) / 90
+    inter = sim[:10, 10:].mean()
+    assert intra - inter > 0.2, (intra, inter)
+
+
+def test_hs_loss_is_path_length_scaled():
+    """Initial HS loss ≈ mean code length * log(2) (θ=0 ⇒ σ=0.5 per node)."""
+    rng = np.random.default_rng(0)
+    walks = rng.integers(0, 64, (64, 9)).astype(np.int32)
+    params = Word2VecParams(
+        min_count=1, vector_size=32, max_iter=1, negative=0, step_size=1e-9,
+    )
+    m = Word2VecTPU(params).fit(walks, n_vertices=64)
+    from node2vec_tpu.models.hsoftmax import build_huffman
+
+    tree = build_huffman(m.vocab.counts)
+    p = m.vocab.counts / m.vocab.counts.sum()
+    mean_len = float((p * tree.lengths).sum())
+    assert abs(m._losses[0] - mean_len * np.log(2)) / (mean_len * np.log(2)) < 0.05
