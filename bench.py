@@ -51,7 +51,12 @@ def _sync(x) -> float:
     return float(jnp.sum(x))
 
 
-def bench_walks(g, num_walks: int, walk_length: int, p: float, q: float):
+GATHER_FLOOR_NS = 22.0  # measured XLA row-gather issue floor on v5e
+HBM_GBPS = 819.0  # v5e HBM peak
+
+
+def bench_walks(g, num_walks: int, walk_length: int, p: float, q: float,
+                strategy: str = "auto"):
     import jax
     import jax.numpy as jnp
 
@@ -65,12 +70,13 @@ def bench_walks(g, num_walks: int, walk_length: int, p: float, q: float):
         inout_param=q,
         walker_chunk=1 << 17,
     )
-    engine = WalkEngine(g, params)
+    engine = WalkEngine(g, params, strategy=strategy)
     chunk = engine._effective_chunk(g.n_vertices * num_walks)
-    starts = np.arange(chunk, dtype=np.int32) % g.n_vertices
+    live = np.flatnonzero(np.diff(g.indptr) > 0)
+    starts = live[np.arange(chunk) % len(live)].astype(np.int32)
 
     def run(i):
-        return engine._run_chunk(starts, jax.random.PRNGKey(i))
+        return engine._run_chunk(starts, jax.random.PRNGKey(i), seed=i)
 
     t0 = time.perf_counter()
     _sync(run(0))
@@ -86,11 +92,29 @@ def bench_walks(g, num_walks: int, walk_length: int, p: float, q: float):
     paths_host = np.asarray(paths)
     steps_done = int((paths_host >= 0).sum()) - chunk
     steps_per_s = steps_done / med
+    # roofline: the walk engines are gather-op bound (experiments/
+    # gather_bench.py: ~22ns issue floor per gathered row, any width <=1KB).
+    # dense = 1 gather/step; blocked = 2 (unbiased) .. 4 (biased) per
+    # ITERATION with mean iterations/step >= 1 (rejection), csr ~ 4-5 scalar
+    # gathers + binary-search chains.
+    gathers = {"dense": 1.0, "blocked": (2.0 if p == q == 1.0 else 4.0)}.get(
+        engine.strategy, 4.0
+    )
+    ns_per_step = 1e9 / steps_per_s if steps_per_s else float("inf")
+    floor_frac = min(1.0, GATHER_FLOOR_NS * gathers / ns_per_step)
     log(
         f"walks(p={p},q={q}) strategy={engine.strategy}: chunk={chunk} "
-        f"compile={compile_s:.1f}s steady {steps_per_s:,.0f} steps/s"
+        f"compile={compile_s:.1f}s steady {steps_per_s:,.0f} steps/s "
+        f"({ns_per_step:.0f}ns/step, {floor_frac:.0%} of {gathers:.0f}-gather "
+        f"floor)"
     )
-    return steps_per_s, paths_host
+    roofline = {
+        "ns_per_step": round(ns_per_step, 1),
+        "gather_ops_modeled": gathers,
+        "gather_floor_ns": GATHER_FLOOR_NS,
+        "fraction_of_gather_floor": round(floor_frac, 3),
+    }
+    return steps_per_s, paths_host, roofline
 
 
 def bench_sgns(g, walks: np.ndarray, dim: int, n_steps: int, batch_walks: int):
@@ -128,12 +152,26 @@ def bench_sgns(g, walks: np.ndarray, dim: int, n_steps: int, batch_walks: int):
     float(loss)  # scalar readback; depends on every prior step's state
     dt = time.perf_counter() - t0
     pairs_per_s = n_pairs * n_steps / dt
+    # roofline: positional SGNS moves ~6 table rows (dim f32) per walk
+    # position (in/out gather + grad scatter x2 tables + accumulators) and
+    # does ~8*dim*(2w + S) MACs per position on the MXU
+    n_pos = batch_walks * walks.shape[1]
+    bytes_per_step = n_pos * 6 * dim * 4
+    hbm_frac = (bytes_per_step * n_steps / dt) / (HBM_GBPS * 1e9)
+    row_gathers = n_pos * 6
+    gather_frac = (row_gathers * n_steps / dt) * GATHER_FLOOR_NS / 1e9
     log(
         f"sgns: dim={dim} batch={batch_walks} pairs/step={n_pairs} "
         f"compile={compile_s:.1f}s steady {pairs_per_s:,.0f} pair-updates/s "
-        f"loss={float(loss):.3f}"
+        f"loss={float(loss):.3f} (hbm {hbm_frac:.0%}, gather-floor "
+        f"{gather_frac:.0%})"
     )
-    return pairs_per_s
+    roofline = {
+        "bytes_per_step_model": bytes_per_step,
+        "fraction_of_hbm_peak": round(hbm_frac, 3),
+        "fraction_of_gather_floor": round(min(gather_frac, 1.0), 3),
+    }
+    return pairs_per_s, roofline
 
 
 def bench_python_reference(g, p: float, q: float, n_samples: int = 2000) -> float:
@@ -192,27 +230,63 @@ def main() -> None:
     log(f"backend={backend} devices={jax.devices()}")
 
     g, build_s = build_er_graph(n_vertices, avg_degree)
-    walk_sps, paths = bench_walks(g, num_walks, walk_length, p, q)
-    uw_sps, _ = bench_walks(g, num_walks, walk_length, 1.0, 1.0)
-    sgns_pps = bench_sgns(g, paths, dim, sgns_steps, batch_walks=2048)
+    walk_sps, paths, walk_roof = bench_walks(g, num_walks, walk_length, p, q)
+    uw_sps, _, _ = bench_walks(g, num_walks, walk_length, 1.0, 1.0)
+    sgns_pps, sgns_roof = bench_sgns(g, paths, dim, sgns_steps, batch_walks=2048)
     py_sps = bench_python_reference(g, p, q)
+
+    extras = {
+        "backend": backend,
+        "n_vertices": g.n_vertices,
+        "n_edges": g.n_edges,
+        "p": p,
+        "q": q,
+        "unbiased_walk_steps_per_s": round(uw_sps),
+        "sgns_pair_updates_per_s": round(sgns_pps),
+        "python_ref_steps_per_s": round(py_sps),
+        "graph_build_s": round(build_s, 2),
+        "walk_roofline": walk_roof,
+        "sgns_roofline": sgns_roof,
+    }
+
+    # second scale: heavy-tail RMAT through the blocked engine (the regime
+    # the reference advertises, README.md:29; round-1 VERDICT weak item 2)
+    if os.environ.get("N2V_BENCH_RMAT", "1") != "0":
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "examples"))
+        from scale_test import rmat_edges
+
+        from node2vec_tpu.graph.ingest import build_graph
+
+        scale = int(os.environ.get("N2V_BENCH_RMAT_SCALE", 19))
+        t0 = time.perf_counter()
+        src, dst = rmat_edges(scale, 8 * (1 << scale))
+        g2 = build_graph(
+            (src, dst), indexed=True, directed=False, max_out_degree=10_000
+        )
+        ht_build = time.perf_counter() - t0
+        deg = g2.out_degrees()
+        log(
+            f"heavy-tail RMAT: V={g2.n_vertices} E={g2.n_edges} "
+            f"max_deg={deg.max()} build={ht_build:.1f}s"
+        )
+        ht_sps, _, ht_roof = bench_walks(g2, num_walks, walk_length, p, q)
+        ht_uw, _, _ = bench_walks(g2, num_walks, walk_length, 1.0, 1.0)
+        extras["heavytail"] = {
+            "n_vertices": g2.n_vertices,
+            "n_edges": g2.n_edges,
+            "max_degree": int(deg.max()),
+            "walk_steps_per_s": round(ht_sps),
+            "unbiased_walk_steps_per_s": round(ht_uw),
+            "walk_roofline": ht_roof,
+            "graph_build_s": round(ht_build, 1),
+        }
 
     result = {
         "metric": "walk_steps_per_s",
         "value": round(walk_sps),
         "unit": "steps/s/chip",
         "vs_baseline": round(walk_sps / py_sps, 1),
-        "extras": {
-            "backend": backend,
-            "n_vertices": g.n_vertices,
-            "n_edges": g.n_edges,
-            "p": p,
-            "q": q,
-            "unbiased_walk_steps_per_s": round(uw_sps),
-            "sgns_pair_updates_per_s": round(sgns_pps),
-            "python_ref_steps_per_s": round(py_sps),
-            "graph_build_s": round(build_s, 2),
-        },
+        "extras": extras,
     }
     print(json.dumps(result))
 

@@ -26,9 +26,12 @@ def bench_engine(g, strategy, p, q, n_walkers=1 << 17, walk_length=40, reps=3):
         walker_chunk=n_walkers,
     )
     eng = WalkEngine(g, params, strategy=strategy)
-    starts = np.random.default_rng(0).integers(
-        0, g.n_vertices, n_walkers
-    ).astype(np.int32)
+    # RMAT leaves ~half the id space isolated; starting walkers there would
+    # undercount steps/s 2x (they die at step 0) — sample live vertices
+    live = np.flatnonzero(np.diff(g.indptr) > 0)
+    starts = live[
+        np.random.default_rng(0).integers(0, len(live), n_walkers)
+    ].astype(np.int32)
     # compile + warm
     t0 = time.perf_counter()
     out = eng.run_device(seed=0, start_vertices=starts)
@@ -64,8 +67,11 @@ def main():
         f"p95={np.percentile(deg,95):.0f} build={time.perf_counter()-t0:.1f}s",
         flush=True,
     )
+    strategies = sys.argv[2].split(",") if len(sys.argv) > 2 else ["blocked"]
     for p, q in [(1.0, 1.0), (0.25, 4.0), (4.0, 0.25)]:
-        for strategy in ["blocked", "csr"]:
+        for strategy in strategies:
+            # NOTE: csr at p=4/q=.25 reproducibly crashes the TPU worker
+            # (kernel fault) — see ROADMAP; run it explicitly if needed
             bench_engine(g, strategy, p, q)
 
 

@@ -50,9 +50,15 @@ class Node2Vec:
         checkpoint_dir: Optional[str] = None,
         walk_seed_vertices: Optional[np.ndarray] = None,
         mesh=None,
+        graph_sharded: bool = False,
     ):
         """``mesh``: optional jax (data × model) Mesh — walks shard walkers
         over 'data' and fit() trains TP×DP sharded (see node2vec_tpu.parallel).
+
+        ``graph_sharded=True`` (requires mesh): the adjacency itself is
+        range-partitioned across devices — each device holds only its vertex
+        range and walk supersteps exchange sampling requests via all-to-all
+        (the layout for graphs beyond one device's HBM).
         """
         if isinstance(n2v_params, Node2VecParams):
             self.n2v_params = n2v_params
@@ -67,6 +73,7 @@ class Node2Vec:
         self.checkpoint_dir = checkpoint_dir
         self.walk_seed_vertices = walk_seed_vertices
         self.mesh = mesh
+        self.graph_sharded = graph_sharded
         self.graph: Optional[Graph] = None
         self.walks: Optional[np.ndarray] = None
         self.backend: Optional[Node2VecTPUEmbedding] = None
@@ -101,7 +108,10 @@ class Node2Vec:
         """Generate the walk corpus (reference spark.py:536-614)."""
         if self.graph is None:
             raise RuntimeError("call preprocess_input_graph() first")
-        engine = WalkEngine(self.graph, self.n2v_params, mesh=self.mesh)
+        engine = WalkEngine(
+            self.graph, self.n2v_params, mesh=self.mesh,
+            graph_sharded=self.graph_sharded,
+        )
         self.walks = engine.run(
             seed=self.random_seed,
             start_vertices=self.walk_seed_vertices,

@@ -47,7 +47,7 @@ every role (tests/test_blocked.py).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 
@@ -107,30 +107,19 @@ def _edge_has_shared(
     return out
 
 
-def build_blocked_graph(
-    indptr: np.ndarray,
-    indices: np.ndarray,
-    weights: np.ndarray,
-    light_width: int | None = None,
-    block_width: int | None = None,
-) -> BlockedGraph:
-    """Host-side packing of a sorted CSR graph into the v2 blocked layout.
+def _edge_metadata(
+    indptr: np.ndarray, indices: np.ndarray, weights: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-edge reverse metadata over the FULL graph: (rev_enc, pfx).
 
-    Heavy-header row layout ([4P] int32 lanes):
-      [0] = -2 (heavy marker)  [1] block_start  [2] n_blocks
-      [3] wtot (f32 bits)      [4] degree
-      [5 : 5+MAXB]        per-block minimum neighbor id (INT32_MAX padded)
-      [5+MAXB : 5+2*MAXB] inclusive block-mass CDF (f32 bits; padded w/ wtot)
+    rev_enc[e] = f32 bits of w(dst->src) (0 if absent) with the has_shared
+    triangle bit in the sign; pfx[e] = weight-CDF prefix of src within
+    N(dst).  Must be computed globally even for a partitioned build — the
+    reverse edge of a shard's edge may live on another shard.
     """
-    indptr = np.asarray(indptr, dtype=np.int64)
-    indices = np.asarray(indices, dtype=np.int32)
-    weights = np.asarray(weights, dtype=np.float32)
     n_v = len(indptr) - 1
     n_e = len(indices)
     deg = np.diff(indptr)
-    max_deg = int(deg.max()) if n_v else 0
-
-    # per-edge reverse metadata: position of the reverse edge via sorted keys
     src_rep = np.repeat(np.arange(n_v, dtype=np.int64), deg)
     keys = src_rep * n_v + indices
     rkeys = indices.astype(np.int64) * n_v + src_rep
@@ -139,7 +128,6 @@ def build_blocked_graph(
     found = (pos < n_e) & (keys[pos_c] == rkeys) if n_e else np.zeros(0, bool)
     rev_w = np.where(found, weights[pos_c], np.float32(0.0)).astype(np.float32)
     cw = np.concatenate([[0.0], np.cumsum(weights, dtype=np.float64)])
-    # pfx[e] = weight-CDF prefix of src_e within N(dst_e) (0 if no rev edge)
     pfx = np.where(
         found, (cw[pos_c] - cw[indptr[indices]]).astype(np.float32), 0.0
     ).astype(np.float32)
@@ -147,39 +135,55 @@ def build_blocked_graph(
     rev_enc = np.where(
         shared, rev_w.view(np.int32) | SIGN, rev_w.view(np.int32)
     ).astype(np.int32)
+    return rev_enc, pfx.astype(np.float32)
 
-    if light_width is None:
-        light_width = 32
-    p_l = light_width
+
+def _pack_range(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    weights: np.ndarray,
+    rev_enc: np.ndarray,
+    pfx: np.ndarray,
+    lo: int,
+    hi: int,
+    p_l: int,
+    c: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Pack vertices [lo, hi) into (light, biw, bids, brp) host arrays.
+
+    Heavy-header row layout ([4P] int32 lanes):
+      [0] = -2 (heavy marker)  [1] block_start (LOCAL to this range's tables)
+      [2] n_blocks  [3] wtot (f32 bits)  [4] degree
+      [5 : 5+MAXB]        per-block minimum neighbor id (INT32_MAX padded)
+      [5+MAXB : 5+2*MAXB] inclusive block-mass CDF (f32 bits; padded w/ wtot)
+    """
     maxb = _max_blocks(p_l)
+    n_range = hi - lo
+    e_lo, e_hi = int(indptr[lo]), int(indptr[hi])
+    deg = np.diff(indptr[lo : hi + 1])
     heavy = deg > p_l
     n_heavy = int(heavy.sum())
-    if block_width is None:
-        need = -(-max_deg // maxb) if n_heavy else 1
-        block_width = max(256, 1 << int(np.ceil(np.log2(max(need, 1)))))
-    c = block_width
-    if c % QUADS_PER_ROW:
-        raise ValueError(f"block_width must be a multiple of {QUADS_PER_ROW}")
-    if max_deg > maxb * c:
-        raise ValueError(
-            f"max degree {max_deg} exceeds the blocked engine's "
-            f"{maxb}x{c} capacity; trim hotspots (max_out_degree) or raise "
-            f"block_width/light_width"
-        )
-
     zero_bits = np.float32(0.0).view(np.int32)
-    col = np.arange(n_e, dtype=np.int64) - np.repeat(indptr[:-1], deg)
 
-    light = np.empty((n_v, 4 * p_l), dtype=np.int32)
+    src_rep = np.repeat(np.arange(n_range, dtype=np.int64), deg)
+    col = np.arange(e_lo, e_hi, dtype=np.int64) - np.repeat(
+        indptr[lo:hi], deg
+    )
+    r_indices = indices[e_lo:e_hi]
+    r_weights = weights[e_lo:e_hi]
+    r_rev = rev_enc[e_lo:e_hi]
+    r_pfx = pfx[e_lo:e_hi]
+
+    light = np.empty((n_range, 4 * p_l), dtype=np.int32)
     light[:, :p_l] = PAD_ID
     light[:, p_l:] = zero_bits
     e_light = np.repeat(~heavy, deg)
     lr = src_rep[e_light]
     lc = col[e_light]
-    light[lr, lc] = indices[e_light]
-    light[lr, p_l + lc] = weights[e_light].view(np.int32)
-    light[lr, 2 * p_l + lc] = rev_enc[e_light]
-    light[lr, 3 * p_l + lc] = pfx[e_light].view(np.int32)
+    light[lr, lc] = r_indices[e_light]
+    light[lr, p_l + lc] = r_weights[e_light].view(np.int32)
+    light[lr, 2 * p_l + lc] = r_rev[e_light]
+    light[lr, 3 * p_l + lc] = r_pfx[e_light].view(np.int32)
 
     hv = np.flatnonzero(heavy)
     nb = -(-deg[hv] // c) if n_heavy else np.zeros(0, np.int64)
@@ -195,20 +199,18 @@ def build_blocked_graph(
         e_heavy = np.repeat(heavy, deg)
         hr = block_start[rank[src_rep[e_heavy]]] + col[e_heavy] // c
         hc = col[e_heavy] % c
-        biw[hr, hc] = indices[e_heavy]
-        biw[hr, c + hc] = weights[e_heavy].view(np.int32)
-        bids[hr, hc] = indices[e_heavy]
+        biw[hr, hc] = r_indices[e_heavy]
+        biw[hr, c + hc] = r_weights[e_heavy].view(np.int32)
+        bids[hr, hc] = r_indices[e_heavy]
         gslot = hr * c + hc
-        brp[gslot // QUADS_PER_ROW, 2 * (gslot % QUADS_PER_ROW)] = rev_enc[
-            e_heavy
-        ]
-        brp[gslot // QUADS_PER_ROW, 2 * (gslot % QUADS_PER_ROW) + 1] = pfx[
+        brp[gslot // QUADS_PER_ROW, 2 * (gslot % QUADS_PER_ROW)] = r_rev[e_heavy]
+        brp[gslot // QUADS_PER_ROW, 2 * (gslot % QUADS_PER_ROW) + 1] = r_pfx[
             e_heavy
         ].view(np.int32)
 
-        # heavy headers
-        starts = indptr[hv]
-        ends = indptr[hv + 1]
+        cw = np.concatenate([[0.0], np.cumsum(r_weights, dtype=np.float64)])
+        starts = indptr[lo:hi][hv] - e_lo
+        ends = indptr[lo + 1 : hi + 1][hv] - e_lo
         bpos = np.minimum(
             starts[:, None] + np.arange(maxb + 1, dtype=np.int64) * c,
             ends[:, None],
@@ -220,14 +222,56 @@ def build_blocked_graph(
         light[hv, 3] = cum[:, -1].view(np.int32)  # wtot == final CDF, exactly
         light[hv, 4] = deg[hv]
         valid = bpos[:, :maxb] < ends[:, None]
-        mins = indices[np.minimum(bpos[:, :maxb], max(n_e - 1, 0))]
+        mins = r_indices[np.minimum(bpos[:, :maxb], max(e_hi - e_lo - 1, 0))]
         light[hv[:, None], 5 + np.arange(maxb)[None, :]] = np.where(
             valid, mins, PAD_ID
         )
         light[hv[:, None], 5 + maxb + np.arange(maxb)[None, :]] = cum.view(
             np.int32
         )
+    return light, biw, bids, brp
 
+
+def _check_capacity(max_deg: int, p_l: int, c: int) -> None:
+    maxb = _max_blocks(p_l)
+    if c % QUADS_PER_ROW:
+        raise ValueError(f"block_width must be a multiple of {QUADS_PER_ROW}")
+    if max_deg > maxb * c:
+        raise ValueError(
+            f"max degree {max_deg} exceeds the blocked engine's "
+            f"{maxb}x{c} capacity; trim hotspots (max_out_degree) or raise "
+            f"block_width/light_width"
+        )
+
+
+def build_blocked_graph(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    weights: np.ndarray,
+    light_width: int | None = None,
+    block_width: int | None = None,
+) -> BlockedGraph:
+    """Host-side packing of a sorted CSR graph into the v2 blocked layout."""
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int32)
+    weights = np.asarray(weights, dtype=np.float32)
+    n_v = len(indptr) - 1
+    deg = np.diff(indptr)
+    max_deg = int(deg.max()) if n_v else 0
+
+    rev_enc, pfx = _edge_metadata(indptr, indices, weights)
+    p_l = 32 if light_width is None else light_width
+    maxb = _max_blocks(p_l)
+    n_heavy = int((deg > p_l).sum())
+    if block_width is None:
+        need = -(-max_deg // maxb) if n_heavy else 1
+        block_width = max(256, 1 << int(np.ceil(np.log2(max(need, 1)))))
+    c = block_width
+    _check_capacity(max_deg, p_l, c)
+
+    light, biw, bids, brp = _pack_range(
+        indptr, indices, weights, rev_enc, pfx, 0, n_v, p_l, c
+    )
     return BlockedGraph(
         light=jnp.asarray(light),
         biw=jnp.asarray(biw),
@@ -288,7 +332,7 @@ def blocked_walk_chunk_impl(
 
     def body(carry):
         (paths, t, cur, prev, w_fwd, fwd_pfx, w_back, back_pfx, back_shared,
-         cur_row, prev_mem, alive, trials, need_entry, n_fb, it) = carry
+         cur_row, prev_mem, alive, trials, need_entry, n_fb, att, it) = carry
 
         # --- entry: (re)gather the frontier vertex's row -------------------
         entry = need_entry & alive
@@ -316,7 +360,11 @@ def blocked_walk_chunk_impl(
         alive = alive & ~(entry & (degree == 0))  # sink death
 
         first_order = t == 0
-        ctr = it * jnp.uint32(4)
+        # RNG counter = per-walker ATTEMPT number (not the global iteration):
+        # engines that schedule attempts differently (edge-partitioned
+        # deferral) replay the identical draw sequence — walks bit-match
+        # across layouts
+        ctr = att * jnp.uint32(4)
         u_branch = hash_uniform(seed, gidsu, ctr)
         u_prop = hash_uniform(seed, gidsu, ctr + jnp.uint32(1))
         u_acc = hash_uniform(seed, gidsu, ctr + jnp.uint32(2))
@@ -466,13 +514,14 @@ def blocked_walk_chunk_impl(
         need_entry = adv
         alive = alive & (t < el)
 
+        att = jnp.where(alive, att + jnp.uint32(1), att)
         return (paths, t, cur, prev, w_fwd, fwd_pfx, w_back, back_pfx,
                 back_shared, cur_row, prev_mem, alive, trials, need_entry,
-                n_fb, it + jnp.uint32(1))
+                n_fb, att, it + jnp.uint32(1))
 
     def cond(carry):
         alive = carry[11]
-        it = carry[15]
+        it = carry[16]
         return jnp.any(alive) & (it < jnp.uint32(el * (max_trials + 2)))
 
     zeros_f = jnp.zeros((n_w,), jnp.float32)
@@ -494,6 +543,7 @@ def blocked_walk_chunk_impl(
         jnp.zeros((n_w,), jnp.int32),  # trials
         jnp.ones((n_w,), bool),  # need_entry
         jnp.int32(0),  # n_fallback
+        jnp.zeros((n_w,), jnp.uint32),  # att (per-walker attempt counter)
         jnp.uint32(0),  # it
     )
     out = jax.lax.while_loop(cond, body, init)

@@ -273,7 +273,15 @@ class WalkEngine:
         strategy: str = "auto",
         dense_max_degree: int = 256,
         mesh=None,
+        graph_sharded: bool = False,
     ):
+        """``graph_sharded=True`` (requires ``mesh``): the adjacency itself is
+        range-partitioned across the mesh's 'data' axis (each device holds
+        only its vertex range) and supersteps exchange sampling requests via
+        all-to-all — the layout for graphs beyond one device's HBM
+        (parallel.edge_partitioned_blocked).  Without it the graph is
+        replicated per device and only walkers are sharded.
+        """
         self.params = params
         self.mesh = mesh  # optional jax Mesh: chunks run sharded over 'data'
         self.dgraph = graph.to_device() if isinstance(graph, Graph) else graph
@@ -284,12 +292,18 @@ class WalkEngine:
         self.max_degree = max_deg
         # binary-search depth: ceil(log2(max_degree)) + 1, min 1
         self.search_iters = max(1, math.ceil(math.log2(max_deg + 1)) + 1)
-        if strategy == "auto":
+        if graph_sharded:
+            if mesh is None:
+                raise ValueError("graph_sharded=True requires a mesh")
+            strategy = "ep_blocked"
+        elif strategy == "auto":
             strategy = "dense" if max_deg <= dense_max_degree else "blocked"
         self.strategy = strategy
         self.packed_adj = None
         self.bgraph = None
-        self.fallback_count = 0  # blocked engine: trial-capped ∝w accepts
+        self.pgraph = None
+        self.fallback_count = 0  # blocked engines: trial-capped ∝w accepts
+        self.unfinished_count = 0  # ep_blocked: walkers stopped at the bound
         if isinstance(graph, Graph):
             indptr, indices, weights = graph.indptr, graph.indices, graph.weights
         else:
@@ -306,6 +320,14 @@ class WalkEngine:
             from node2vec_tpu.walk.blocked import build_blocked_graph
 
             self.bgraph = build_blocked_graph(indptr, indices, weights)
+        elif strategy == "ep_blocked":
+            from node2vec_tpu.parallel.edge_partitioned_blocked import (
+                partition_blocked_graph,
+            )
+
+            self.pgraph = partition_blocked_graph(
+                indptr, indices, weights, mesh.shape["data"], mesh=mesh
+            )
 
     def _effective_chunk(self, n_total: int) -> int:
         chunk = min(self.params.walker_chunk, max(n_total, 1))
@@ -324,6 +346,8 @@ class WalkEngine:
         self, chunk_starts: np.ndarray, key, gid_base: int = 0, seed: int = 0
     ) -> jnp.ndarray:
         p = self.params
+        if self.strategy == "ep_blocked":
+            return self._run_chunk_ep(chunk_starts, gid_base, seed)
         if self.mesh is not None:
             return self._run_chunk_sharded(chunk_starts, key, gid_base, seed)
         if self.strategy == "dense":
@@ -376,6 +400,47 @@ class WalkEngine:
             max_trials=p.max_rejection_trials,
             search_iters=self.search_iters,
         )
+
+    def _run_chunk_ep(
+        self, chunk_starts: np.ndarray, gid_base: int, seed: int
+    ) -> jnp.ndarray:
+        """Graph-sharded chunk: adjacency partitioned, frontier all-to-all."""
+        from node2vec_tpu.parallel.edge_partitioned_blocked import (
+            edge_partitioned_blocked_walk,
+        )
+
+        p = self.params
+        n_data = self.mesh.shape["data"]
+        n = len(chunk_starts)
+        if n % n_data:
+            pad = n_data - n % n_data
+            chunk_starts = np.concatenate(
+                [chunk_starts, np.full(pad, -1, np.int32)]
+            )
+        gids = jnp.arange(
+            gid_base, gid_base + len(chunk_starts), dtype=jnp.int32
+        )
+        paths, unfinished, n_fb = edge_partitioned_blocked_walk(
+            self.mesh,
+            self.pgraph,
+            jnp.asarray(chunk_starts),
+            gids,
+            jnp.uint32(seed & 0xFFFFFFFF),
+            walk_length=p.walk_length,
+            return_param=float(p.return_param),
+            inout_param=float(p.inout_param),
+            max_trials=p.max_rejection_trials,
+        )
+        unfin = int(np.asarray(unfinished).sum())
+        self.unfinished_count += unfin
+        self.fallback_count += int(np.asarray(n_fb).sum())
+        if unfin:
+            logger.warning(
+                "edge-partitioned walk: %d walkers unfinished at the "
+                "superstep bound (paths truncated but contiguous); raise "
+                "capacity or slack", unfin,
+            )
+        return paths[:n]
 
     def _run_chunk_sharded(
         self, chunk_starts: np.ndarray, key, gid_base: int = 0, seed: int = 0
