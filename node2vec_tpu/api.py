@@ -120,21 +120,43 @@ class Node2Vec:
         logger.info("random walks done: %s", self.walks.shape)
         return self.walks
 
-    def run_pipeline(self, verbose: bool = False) -> Word2VecTPU:
+    def run_pipeline(
+        self, verbose: bool = False, streaming: Optional[bool] = None
+    ) -> Word2VecTPU:
         """walks + training without the corpus ever leaving the device.
 
         Equivalent to random_walk() followed by fit(), minus the host
         round-trip of the walk corpus (the reference cannot avoid it: gensim
         pulls the whole corpus into driver RAM, embedding.py:125).
+
+        ``streaming`` (default: auto — on when the corpus spans multiple
+        walker chunks): train over a VIRTUAL corpus — walk chunks regenerate
+        deterministically on device per epoch, chunk k+1 dispatching while
+        chunk k trains (producer/consumer overlap), and the full corpus never
+        exists in memory.  Removes the HBM corpus-size ceiling entirely.
         """
         if self.graph is None:
             raise RuntimeError("call preprocess_input_graph() first")
-        engine = WalkEngine(self.graph, self.n2v_params, mesh=self.mesh)
-        walks_dev = engine.run_device(
-            seed=self.random_seed, start_vertices=self.walk_seed_vertices
+        engine = WalkEngine(
+            self.graph, self.n2v_params, mesh=self.mesh,
+            graph_sharded=self.graph_sharded,
         )
         name_id = self.graph.names if self.graph.names is not None else None
         self.backend = Node2VecTPUEmbedding(name_id=name_id, w2v_params=self.w2v_params)
+        n_chunks, chunk_walks, source = engine.chunk_source(
+            seed=self.random_seed, start_vertices=self.walk_seed_vertices
+        )
+        if streaming is None:
+            streaming = n_chunks > 1 and self.mesh is None
+        if streaming and self.mesh is None:
+            self.backend.model.fit_streaming(
+                source, n_chunks, self.graph.n_vertices, verbose=verbose
+            )
+            self.walks = None  # virtual corpus: regenerate via random_walk()
+            return self.backend.model
+        walks_dev = engine.run_device(
+            seed=self.random_seed, start_vertices=self.walk_seed_vertices
+        )
         if self.mesh is not None:
             # sharded trainer consumes a host corpus (sharded batches per step)
             self.backend.model.fit_sharded(

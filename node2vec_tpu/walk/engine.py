@@ -580,6 +580,42 @@ class WalkEngine:
         return out
 
 
+    def chunk_source(
+        self,
+        seed: int = 0,
+        start_vertices: Optional[np.ndarray] = None,
+    ):
+        """Virtual-corpus interface: (n_chunks, chunk_size, source) where
+        ``source(i)`` regenerates walk chunk i ON DEVICE, deterministically.
+
+        Because chunks are pure functions of (seed, chunk index), a corpus of
+        any size can stream through fixed device memory — the walks are
+        "stored" as a seed.  Used by Word2VecTPU.fit_streaming for
+        producer/consumer pipelining (walk chunk k+1 dispatches while chunk k
+        trains) and for corpora larger than HBM.
+        """
+        p = self.params
+        g = self.dgraph
+        if start_vertices is None:
+            starts_one = np.arange(g.n_vertices, dtype=np.int32)
+        else:
+            starts_one = np.asarray(start_vertices, dtype=np.int32)
+        starts = np.tile(starts_one, p.num_walks)
+        n_total = len(starts)
+        chunk = self._effective_chunk(n_total)
+        n_chunks = -(-n_total // chunk)
+        root = jax.random.key(seed)
+
+        def source(c_idx: int) -> jnp.ndarray:
+            lo = c_idx * chunk
+            hi = min(lo + chunk, n_total)
+            chunk_starts = np.full(chunk, -1, dtype=np.int32)
+            chunk_starts[: hi - lo] = starts[lo:hi]
+            key = jax.random.fold_in(root, c_idx)
+            return self._run_chunk(chunk_starts, key, gid_base=lo, seed=seed)
+
+        return n_chunks, chunk, source
+
     def run_device(
         self,
         seed: int = 0,

@@ -1,0 +1,82 @@
+"""Streaming (virtual-corpus) training tests: the corpus never materializes;
+chunks regenerate deterministically and prefetch while training runs."""
+
+import numpy as np
+
+from node2vec_tpu.constants import Node2VecParams, Word2VecParams
+from node2vec_tpu.graph import from_edge_arrays
+from node2vec_tpu.models import Word2VecTPU
+from node2vec_tpu.walk import WalkEngine
+
+
+def _clique_graph():
+    blocks = []
+    for b in range(2):
+        vs = np.arange(12) + 12 * b
+        s, d = np.meshgrid(vs, vs)
+        keep = s != d
+        blocks.append((s[keep], d[keep]))
+    src = np.concatenate([b[0] for b in blocks] + [[0]]).astype(np.int32)
+    dst = np.concatenate([b[1] for b in blocks] + [[12]]).astype(np.int32)
+    return from_edge_arrays(src, dst, directed=False)
+
+
+def test_chunk_source_matches_run_device():
+    g = _clique_graph()
+    params = Node2VecParams(num_walks=10, walk_length=8, walker_chunk=64)
+    eng = WalkEngine(g, params)
+    n_chunks, chunk, source = eng.chunk_source(seed=4)
+    assert n_chunks == -(-10 * g.n_vertices // chunk)
+    full = np.asarray(eng.run_device(seed=4))
+    got = np.concatenate(
+        [np.asarray(source(i)) for i in range(n_chunks)]
+    )[: len(full)]
+    np.testing.assert_array_equal(full, got)
+    # regeneration is deterministic
+    np.testing.assert_array_equal(np.asarray(source(1)), np.asarray(source(1)))
+
+
+def test_fit_streaming_quality():
+    g = _clique_graph()
+    params = Node2VecParams(num_walks=40, walk_length=8, walker_chunk=256)
+    eng = WalkEngine(g, params)
+    n_chunks, chunk, source = eng.chunk_source(seed=0)
+    assert n_chunks > 1  # actually exercises chunked streaming
+    w2v = Word2VecParams(
+        min_count=1, vector_size=32, max_iter=5, step_size=0.05,
+        batch_walks=128,
+    )
+    m = Word2VecTPU(w2v).fit_streaming(source, n_chunks, g.n_vertices)
+    assert m._losses[-1] < m._losses[0]
+    emb = m.vectors / np.maximum(
+        np.linalg.norm(m.vectors, axis=1, keepdims=True), 1e-9
+    )
+    sim = emb @ emb.T
+    intra = (sim[:12, :12].sum() - 12) / (12 * 11)
+    inter = sim[:12, 12:].mean()
+    assert intra - inter > 0.2, (intra, inter)
+    # vocab counted the virtual corpus exactly
+    assert m.vocab.counts.sum() == 40 * g.n_vertices * 9
+
+
+def test_run_pipeline_streaming_auto():
+    from node2vec_tpu import Node2Vec
+
+    g = _clique_graph()
+    src = np.repeat(np.arange(g.n_vertices), np.diff(g.indptr)).astype(
+        np.int32
+    )
+    n2v = Node2Vec(
+        n2v_params=Node2VecParams(
+            num_walks=30, walk_length=8, walker_chunk=128
+        ),
+        w2v_params=Word2VecParams(
+            min_count=1, vector_size=32, max_iter=4, step_size=0.05,
+            batch_walks=128,
+        ),
+    )
+    n2v.preprocess_input_graph((src, g.indices.copy(), g.weights.copy()))
+    model = n2v.run_pipeline()
+    assert n2v.walks is None  # streamed: corpus never materialized
+    assert np.isfinite(model.vectors).all()
+    assert model._losses[-1] < model._losses[0]
