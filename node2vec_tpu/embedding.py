@@ -120,10 +120,13 @@ class Node2VecTPUEmbedding(Node2VecBase):
     def get_vector(self, vertex_name: Union[str, int]) -> np.ndarray:
         self._check_fitted()
         if self.name_id is not None and not isinstance(vertex_name, (int, np.integer)):
-            rev = {v: k for k, v in self.name_id.items()}
-            if vertex_name not in rev:
+            if getattr(self, "_name_to_id", None) is None:
+                # built once; reference rebuilds nothing because spark keeps a
+                # DataFrame join — here the map lives with the model
+                self._name_to_id = {v: k for k, v in self.name_id.items()}
+            if vertex_name not in self._name_to_id:
                 raise KeyError(f"Unknown vertex name: {vertex_name!r}")
-            vid = rev[vertex_name]
+            vid = self._name_to_id[vertex_name]
         else:
             vid = int(vertex_name)
         return self.model.vector(vid)

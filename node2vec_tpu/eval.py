@@ -19,25 +19,33 @@ def sample_negative_edges(
     n_samples: int,
     seed: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Uniform non-edges (u,v), u!=v, rejection-sampled against the CSR."""
+    """Uniform non-edges (u,v), u!=v, rejection-sampled against the CSR.
+
+    Fully vectorized: candidate batches are tested with one global
+    searchsorted over sorted (u*V+v) edge keys (CSR order is already sorted),
+    so cost is O(batch log E) — no per-candidate Python loop.
+    """
     n_vertices = len(indptr) - 1
+    n_edges = len(indices)
     rng = np.random.default_rng(seed)
+    src_rep = np.repeat(np.arange(n_vertices, dtype=np.int64), np.diff(indptr))
+    edge_keys = src_rep * n_vertices + indices  # ascending (sorted CSR rows)
     out_u = np.empty(n_samples, dtype=np.int64)
     out_v = np.empty(n_samples, dtype=np.int64)
     got = 0
     while got < n_samples:
-        u = rng.integers(0, n_vertices, size=2 * (n_samples - got))
-        v = rng.integers(0, n_vertices, size=2 * (n_samples - got))
-        ok = u != v
-        for i in np.nonzero(ok)[0]:
-            row = indices[indptr[u[i]] : indptr[u[i] + 1]]
-            j = np.searchsorted(row, v[i])
-            if j < len(row) and row[j] == v[i]:
-                continue
-            out_u[got], out_v[got] = u[i], v[i]
-            got += 1
-            if got == n_samples:
-                break
+        m = 2 * (n_samples - got) + 16
+        u = rng.integers(0, n_vertices, size=m)
+        v = rng.integers(0, n_vertices, size=m)
+        keys = u * n_vertices + v
+        pos = np.searchsorted(edge_keys, keys)
+        pos_c = np.minimum(pos, max(n_edges - 1, 0))
+        is_edge = (pos < n_edges) & (edge_keys[pos_c] == keys) if n_edges else False
+        ok = (u != v) & ~is_edge
+        take = min(int(ok.sum()), n_samples - got)
+        out_u[got : got + take] = u[ok][:take]
+        out_v[got : got + take] = v[ok][:take]
+        got += take
     return out_u, out_v
 
 
