@@ -358,7 +358,8 @@ class Word2VecTPU:
         * ``table_sharding="column"`` — TP columns over 'model', full-table
           replica per data shard, dense psum per step.  Bit-matches the
           single-device trainer under TP-only meshes; V capped by one
-          device's HBM.
+          device's HBM.  Each epoch is ONE jit dispatch (on-device shuffle +
+          batch scan) — host transfers are scalars only.
         * ``table_sharding="row"`` — rows mod-sharded over ALL devices with
           sparse all-to-all routing (parallel.rowsharded_sgns): per-step comm
           is O(batch·D) independent of V, lifting the vertex-count ceiling.
@@ -371,8 +372,8 @@ class Word2VecTPU:
         from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
         from node2vec_tpu.parallel.sharded_sgns import (
+            col_sgns_epoch,
             init_sharded_state,
-            sharded_sgns_step,
         )
 
         if table_sharding == "row":
@@ -398,44 +399,51 @@ class Word2VecTPU:
         ns_alias = jax.device_put(jnp.asarray(self.vocab.ns_alias), rep)
         ns_prob = jax.device_put(jnp.asarray(self.vocab.ns_prob), rep)
         mask = jax.device_put(jnp.asarray(self.vocab.mask), rep)
-        batch_shard = NamedSharding(mesh, Pspec("data", None))
 
         n_walks = len(walks)
         batch = min(p.batch_walks, n_walks)
         batch -= batch % n_data or 0
         batch = max(batch, n_data)
+        batch_local = batch // n_data
         n_batches = (n_walks + batch - 1) // batch
         total_steps = max(p.max_iter * n_batches, 1)
-        rng = np.random.default_rng(p.seed)
+        lr_slope = p.step_size / total_steps
         root_key = jax.random.PRNGKey(p.seed)
 
+        # corpus padded to whole sharded batches, resident on the mesh; a
+        # one-time host shuffle stratifies rows across data shards (each
+        # epoch then reshuffles per-shard on device)
+        n_used = n_batches * batch
+        corpus_host = np.full((n_used, walks.shape[1]), -1, dtype=np.int32)
+        corpus_host[: min(n_walks, n_used)] = walks[:n_used]
+        rng = np.random.default_rng(p.seed)
+        corpus = jax.device_put(
+            jnp.asarray(corpus_host[rng.permutation(n_used)]),
+            NamedSharding(mesh, Pspec("data", None)),
+        )
+
         self._losses = []
-        step = 0
         for epoch in range(p.max_iter):
-            order = rng.permutation(n_walks)
-            for b in range(n_batches):
-                idx = order[b * batch : (b + 1) * batch]
-                wb = walks[idx]
-                if len(wb) < batch:
-                    pad = np.full((batch - len(wb), walks.shape[1]), -1, np.int32)
-                    wb = np.concatenate([wb, pad])
-                lr = max(p.step_size * (1.0 - step / total_steps), p.min_step_size)
-                state, loss = sharded_sgns_step(
-                    mesh,
-                    state,
-                    jax.device_put(jnp.asarray(wb), batch_shard),
-                    jax.random.fold_in(root_key, step),
-                    jnp.float32(lr),
-                    ns_alias,
-                    ns_prob,
-                    mask,
-                    window=p.window_size,
-                    negatives=p.negative,
-                    shared_negatives=self.shared_negatives,
-                    shrink_window=p.shrink_window,
-                )
-                step += 1
-            self._losses.append(float(loss))
+            state, losses = col_sgns_epoch(
+                mesh,
+                state,
+                corpus,
+                jax.random.fold_in(root_key, 500_000 + epoch),
+                epoch * n_batches,
+                p.step_size,
+                lr_slope,
+                ns_alias,
+                ns_prob,
+                mask,
+                batch_local=batch_local,
+                n_batches=n_batches,
+                window=p.window_size,
+                negatives=p.negative,
+                shared_negatives=self.shared_negatives,
+                shrink_window=p.shrink_window,
+                min_lr=p.min_step_size,
+            )
+            self._losses.append(float(losses.mean()))
             if verbose:
                 logger.info(
                     "sharded epoch %d/%d loss=%.4f", epoch + 1, p.max_iter,

@@ -3,7 +3,11 @@ from node2vec_tpu.parallel.sharded_walk import (
     sharded_walk_chunk,
     sharded_dense_walk_chunk,
 )
-from node2vec_tpu.parallel.sharded_sgns import sharded_sgns_step, ShardedSGNSState
+from node2vec_tpu.parallel.sharded_sgns import (
+    col_sgns_epoch,
+    sharded_sgns_step,
+    ShardedSGNSState,
+)
 from node2vec_tpu.parallel.edge_partitioned import (
     edge_partitioned_walk,
     partition_packed_adjacency,
@@ -15,6 +19,7 @@ __all__ = [
     "sharded_walk_chunk",
     "sharded_dense_walk_chunk",
     "sharded_sgns_step",
+    "col_sgns_epoch",
     "ShardedSGNSState",
     "edge_partitioned_walk",
     "partition_packed_adjacency",
