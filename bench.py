@@ -81,6 +81,7 @@ def bench_walks(g, num_walks: int, walk_length: int, p: float, q: float,
     t0 = time.perf_counter()
     _sync(run(0))
     compile_s = time.perf_counter() - t0
+    engine.attempt_count = 0  # count attempts over the timed runs only
     times = []
     paths = None
     for i in range(1, 6):
@@ -94,23 +95,29 @@ def bench_walks(g, num_walks: int, walk_length: int, p: float, q: float,
     steps_per_s = steps_done / med
     # roofline: the walk engines are gather-op bound (experiments/
     # gather_bench.py: ~22ns issue floor per gathered row, any width <=1KB).
-    # dense = 1 gather/step; blocked = 2 (unbiased) .. 4 (biased) per
-    # ITERATION with mean iterations/step >= 1 (rejection), csr ~ 4-5 scalar
-    # gathers + binary-search chains.
+    # dense = 1 gather/STEP; blocked = 2 (unbiased) .. 4 (biased) per
+    # ATTEMPT — the engine reports measured attempts (rejection retries
+    # included), so the floor is gathers × attempts/step × 22ns.
     gathers = {"dense": 1.0, "blocked": (2.0 if p == q == 1.0 else 4.0)}.get(
         engine.strategy, 4.0
     )
+    att_per_step = (
+        engine.attempt_count / (5 * steps_done)
+        if engine.attempt_count and steps_done
+        else 1.0
+    )
     ns_per_step = 1e9 / steps_per_s if steps_per_s else float("inf")
-    floor_frac = min(1.0, GATHER_FLOOR_NS * gathers / ns_per_step)
+    floor_frac = min(1.0, GATHER_FLOOR_NS * gathers * att_per_step / ns_per_step)
     log(
         f"walks(p={p},q={q}) strategy={engine.strategy}: chunk={chunk} "
         f"compile={compile_s:.1f}s steady {steps_per_s:,.0f} steps/s "
-        f"({ns_per_step:.0f}ns/step, {floor_frac:.0%} of {gathers:.0f}-gather "
-        f"floor)"
+        f"({ns_per_step:.0f}ns/step, {att_per_step:.2f} attempts/step, "
+        f"{floor_frac:.0%} of {gathers:.0f}-gather floor)"
     )
     roofline = {
         "ns_per_step": round(ns_per_step, 1),
         "gather_ops_modeled": gathers,
+        "attempts_per_step": round(att_per_step, 2),
         "gather_floor_ns": GATHER_FLOOR_NS,
         "fraction_of_gather_floor": round(floor_frac, 3),
     }
@@ -279,6 +286,37 @@ def main() -> None:
             "unbiased_walk_steps_per_s": round(ht_uw),
             "walk_roofline": ht_roof,
             "graph_build_s": round(ht_build, 1),
+        }
+
+    # embedding-quality gate: the full protocol (walks -> SGNS -> multi-label
+    # F1) on the synthetic overlapping-community graph, so quality regressions
+    # fail the bench loudly instead of hiding behind throughput numbers
+    if os.environ.get("N2V_BENCH_QUALITY", "1") != "0":
+        from node2vec_tpu.constants import Node2VecParams, Word2VecParams
+        from node2vec_tpu.datasets import run_quality, synthetic_multilabel
+
+        gq, labels = synthetic_multilabel(n_vertices=2000, seed=0)
+        t0 = time.perf_counter()
+        qual = run_quality(
+            gq,
+            labels,
+            n2v_params=Node2VecParams(num_walks=8, walk_length=40),
+            w2v_params=Word2VecParams(min_count=1, max_iter=5, vector_size=128),
+            train_ratios=(0.5,),
+            seed=0,
+        )
+        q_s = time.perf_counter() - t0
+        micro = float(qual["micro_f1@0.5"])
+        quality_ok = micro >= 0.55
+        log(
+            f"quality gate: micro_f1@0.5={micro:.3f} macro={qual['macro_f1@0.5']:.3f} "
+            f"({q_s:.0f}s) {'OK' if quality_ok else 'REGRESSION (threshold 0.55)'}"
+        )
+        extras["quality"] = {
+            "micro_f1@0.5": round(micro, 4),
+            "macro_f1@0.5": round(float(qual["macro_f1@0.5"]), 4),
+            "threshold": 0.55,
+            "ok": quality_ok,
         }
 
     result = {

@@ -36,19 +36,32 @@ def trim_hotspot_edges(
     if n == 0:
         return src, np.asarray(dst), weight
 
+    # only offender vertices' edges need the priority sort — hubs hold a
+    # small fraction of edges, so restrict the O(n log n) work to them
+    if np.issubdtype(src.dtype, np.integer) and src.min() >= 0:
+        codes = src
+    else:  # unindexed vertex names (strings): factorize first
+        _, codes = np.unique(src, return_inverse=True)
+    deg = np.bincount(codes, minlength=int(codes.max()) + 1 if n else 0)
+    if (deg <= max_out_degree).all():
+        return src, np.asarray(dst), weight
+    over = deg[codes] > max_out_degree
+    idx = np.flatnonzero(over)  # edges of offender vertices only
+    s_over = codes[idx]
+    m = len(idx)
+
     rng = np.random.default_rng(random_seed)
-    priority = rng.random(n)
-    order = np.lexsort((priority, src))
-    s_sorted = src[order]
+    priority = rng.random(m)
+    order = np.lexsort((priority, s_over))
+    s_sorted = s_over[order]
     # rank of each edge within its src group (0-based)
-    group_start = np.empty(n, dtype=np.int64)
-    new_group = np.empty(n, dtype=bool)
+    new_group = np.empty(m, dtype=bool)
     new_group[0] = True
     new_group[1:] = s_sorted[1:] != s_sorted[:-1]
-    group_start = np.maximum.accumulate(np.where(new_group, np.arange(n), 0))
-    rank = np.arange(n) - group_start
+    group_start = np.maximum.accumulate(np.where(new_group, np.arange(m), 0))
+    rank = np.arange(m) - group_start
     keep_sorted = rank < max_out_degree
-    kept = order[keep_sorted]
+    kept = np.concatenate([np.flatnonzero(~over), idx[order[keep_sorted]]])
     kept.sort()  # preserve original edge order among survivors
     w = None if weight is None else np.asarray(weight)[kept]
     return src[kept], np.asarray(dst)[kept], w

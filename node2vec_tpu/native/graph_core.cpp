@@ -38,6 +38,37 @@ void parallel_for(int64_t n, int n_threads, Fn fn) {
   for (auto& th : threads) th.join();
 }
 
+// Parallel sort: chunk-sort across threads, then pairwise inplace_merge tree.
+template <typename It>
+void parallel_sort(It first, It last, int n_threads) {
+  int64_t n = last - first;
+  if (n_threads <= 1 || n < (1 << 16)) {
+    std::sort(first, last);
+    return;
+  }
+  int t = 1;
+  while (2 * t <= n_threads) t *= 2;  // power-of-two worker count
+  std::vector<int64_t> bounds(t + 1);
+  for (int i = 0; i <= t; ++i) bounds[i] = n * i / t;
+  {
+    std::vector<std::thread> threads;
+    for (int i = 0; i < t; ++i)
+      threads.emplace_back(
+          [&, i]() { std::sort(first + bounds[i], first + bounds[i + 1]); });
+    for (auto& th : threads) th.join();
+  }
+  for (int width = 1; width < t; width *= 2) {
+    std::vector<std::thread> threads;
+    for (int i = 0; i + width < t; i += 2 * width) {
+      threads.emplace_back([&, i]() {
+        std::inplace_merge(first + bounds[i], first + bounds[i + width],
+                           first + bounds[std::min(i + 2 * width, t)]);
+      });
+    }
+    for (auto& th : threads) th.join();
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -148,23 +179,27 @@ int64_t n2v_mirror_dedup(int64_t n_edges, const int32_t* src, const int32_t* dst
                          const float* w, int32_t* out_src, int32_t* out_dst,
                          float* out_w) {
   int64_t m = 2 * n_edges;
-  std::vector<int64_t> keys(m);
-  for (int64_t e = 0; e < n_edges; ++e) {
-    keys[e] = (static_cast<int64_t>(src[e]) << 32) | static_cast<uint32_t>(dst[e]);
-    keys[n_edges + e] =
-        (static_cast<int64_t>(dst[e]) << 32) | static_cast<uint32_t>(src[e]);
-  }
-  std::vector<int64_t> perm(m);
-  std::iota(perm.begin(), perm.end(), 0);
-  std::stable_sort(perm.begin(), perm.end(),
-                   [&](int64_t a, int64_t b) { return keys[a] < keys[b]; });
+  int n_threads = static_cast<int>(
+      std::min<int64_t>(16, std::thread::hardware_concurrency()));
+  // (key, index) pairs sorted directly — the pair's index tiebreak keeps the
+  // same duplicate winner as the old indirect stable_sort (lowest index:
+  // original edge beats its mirror, earlier duplicate beats later)
+  std::vector<std::pair<int64_t, int64_t>> kv(m);
+  parallel_for(n_edges, n_threads, [&](int64_t e) {
+    kv[e] = {(static_cast<int64_t>(src[e]) << 32) | static_cast<uint32_t>(dst[e]),
+             e};
+    kv[n_edges + e] = {
+        (static_cast<int64_t>(dst[e]) << 32) | static_cast<uint32_t>(src[e]),
+        n_edges + e};
+  });
+  parallel_sort(kv.begin(), kv.end(), n_threads);
   int64_t count = 0;
   int64_t prev_key = -1;
   for (int64_t i = 0; i < m; ++i) {
-    int64_t p = perm[i];
-    int64_t k = keys[p];
+    int64_t k = kv[i].first;
     if (k == prev_key) continue;
     prev_key = k;
+    int64_t p = kv[i].second;
     int64_t orig = p < n_edges ? p : p - n_edges;
     out_src[count] = static_cast<int32_t>(static_cast<uint64_t>(k) >> 32);
     out_dst[count] = static_cast<int32_t>(k & 0xffffffff);

@@ -91,7 +91,7 @@ def _build_sharded_blocked_walk(
     def shard_fn(light, biw, bids, brp, starts_shard, gids_shard, seed):
         # no per-shard key fold needed: the blocked engine's RNG is counter-
         # based on global walker ids, so results are layout-invariant
-        paths, n_fb = blocked_walk_chunk_impl(
+        paths, n_fb, n_att = blocked_walk_chunk_impl(
             light,
             biw,
             bids,
@@ -107,13 +107,13 @@ def _build_sharded_blocked_walk(
             block_width=block_width,
             has_heavy=has_heavy,
         )
-        return paths, n_fb.reshape((1,))
+        return paths, n_fb.reshape((1,)), n_att.reshape((1,))
 
     mapped = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(axis_name), P(axis_name), P()),
-        out_specs=(P(axis_name, None), P(axis_name)),
+        out_specs=(P(axis_name, None), P(axis_name), P(axis_name)),
         check_vma=False,
     )
     return jax.jit(mapped)
@@ -139,7 +139,8 @@ def sharded_blocked_walk_chunk(
     axis_name: str = "data",
 ):
     """Blocked-engine sharded walk: walkers over ``axis_name``, the adjacency
-    tables replicated per device.  Returns (paths, per-shard fallback counts)."""
+    tables replicated per device.  Returns (paths, per-shard fallback counts,
+    per-shard attempt counts)."""
     fn = _build_sharded_blocked_walk(
         mesh,
         walk_length,

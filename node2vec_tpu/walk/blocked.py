@@ -300,7 +300,7 @@ def blocked_walk_chunk_impl(
     block_width: int,
     has_heavy: bool,
 ) -> tuple[jax.Array, jax.Array]:
-    """Async blocked walks; returns (paths [W, L+1] int32, n_fallback int32)."""
+    """Async blocked walks: (paths [W, L+1] int32, n_fallback, n_attempts)."""
     p_l = light_width
     c = block_width
     maxb = _max_blocks(p_l)
@@ -311,13 +311,6 @@ def blocked_walk_chunk_impl(
     uniform_bias = return_param == 1.0 and inout_param == 1.0
     need_membership = inout_param != 1.0
     prev_keep = max(p_l, 5 + maxb)
-
-    light_iota = jax.lax.broadcasted_iota(jnp.int32, (n_w, p_l), 1)
-    block_iota = jax.lax.broadcasted_iota(jnp.int32, (n_w, c), 1)
-    cdf_iota = jax.lax.broadcasted_iota(jnp.int32, (n_w, maxb), 1)
-    quad_iota = jax.lax.broadcasted_iota(jnp.int32, (n_w, 128), 1)
-    path_iota = jax.lax.broadcasted_iota(jnp.int32, (n_w, el + 1), 1)
-    gidsu = gids.astype(jnp.uint32)
 
     alive0 = starts >= 0
     paths0 = jnp.full((n_w, el + 1), -1, dtype=jnp.int32)
@@ -332,7 +325,16 @@ def blocked_walk_chunk_impl(
 
     def body(carry):
         (paths, t, cur, prev, w_fwd, fwd_pfx, w_back, back_pfx, back_shared,
-         cur_row, prev_mem, alive, trials, need_entry, n_fb, att, it) = carry
+         cur_row, prev_mem, alive, trials, need_entry, gidsu, n_fb, att,
+         it) = carry
+        # the body is LANE-COUNT polymorphic (shapes read off the carry) so
+        # the tail-compaction cascade below can reuse it on smaller buffers
+        n_w = alive.shape[0]
+        light_iota = jax.lax.broadcasted_iota(jnp.int32, (n_w, p_l), 1)
+        block_iota = jax.lax.broadcasted_iota(jnp.int32, (n_w, c), 1)
+        cdf_iota = jax.lax.broadcasted_iota(jnp.int32, (n_w, maxb), 1)
+        quad_iota = jax.lax.broadcasted_iota(jnp.int32, (n_w, 128), 1)
+        path_iota = jax.lax.broadcasted_iota(jnp.int32, (n_w, el + 1), 1)
 
         # --- entry: (re)gather the frontier vertex's row -------------------
         entry = need_entry & alive
@@ -517,15 +519,13 @@ def blocked_walk_chunk_impl(
         att = jnp.where(alive, att + jnp.uint32(1), att)
         return (paths, t, cur, prev, w_fwd, fwd_pfx, w_back, back_pfx,
                 back_shared, cur_row, prev_mem, alive, trials, need_entry,
-                n_fb, att, it + jnp.uint32(1))
+                gidsu, n_fb, att, it + jnp.uint32(1))
 
-    def cond(carry):
-        alive = carry[11]
-        it = carry[16]
-        return jnp.any(alive) & (it < jnp.uint32(el * (max_trials + 2)))
+    ALIVE, GIDS, NFB, ATT, IT = 11, 14, 15, 16, 17  # carry slots
+    it_bound = jnp.uint32(el * (max_trials + 2))
 
     zeros_f = jnp.zeros((n_w,), jnp.float32)
-    init = (
+    state = (
         paths0,
         jnp.zeros((n_w,), jnp.int32),  # t
         jnp.where(alive0, starts, 0),  # cur
@@ -542,12 +542,58 @@ def blocked_walk_chunk_impl(
         alive0,
         jnp.zeros((n_w,), jnp.int32),  # trials
         jnp.ones((n_w,), bool),  # need_entry
+        gids.astype(jnp.uint32),
         jnp.int32(0),  # n_fallback
         jnp.zeros((n_w,), jnp.uint32),  # att (per-walker attempt counter)
         jnp.uint32(0),  # it
     )
-    out = jax.lax.while_loop(cond, body, init)
-    return out[0], out[14]
+
+    # --- straggler-tail compaction cascade ---------------------------------
+    # The async loop runs until the LAST walker finishes; with rejection (q>1)
+    # the straggler tail is several times the mean attempt count, and every
+    # iteration pays full-chunk gathers (profiled: 206 iterations for el=40 at
+    # 131k lanes).  So: run at full width only while >1/8 of lanes are live,
+    # then gather the unfinished walkers into an 8x smaller buffer and keep
+    # going (twice).  Draws are keyed on (seed, gid, attempt) and att rides
+    # along, so compacted walks are BIT-IDENTICAL to the uncompacted engine.
+    sizes = [n_w]
+    while sizes[-1] >= 4 * 2048:
+        sizes.append(sizes[-1] // 4)
+
+    scatter_stack = []  # (parent_paths, scatter_idx) per compaction
+    att_acc = jnp.uint32(0)  # attempts of walkers left behind by compaction
+    for li, size in enumerate(sizes):
+        last = li == len(sizes) - 1
+        if last:
+            def cond(carry):
+                return jnp.any(carry[ALIVE]) & (carry[IT] < it_bound)
+        else:
+            nxt = sizes[li + 1]
+
+            def cond(carry, nxt=nxt):
+                live = jnp.sum(carry[ALIVE], dtype=jnp.int32)
+                return (live > nxt) & (carry[IT] < it_bound)
+
+        state = jax.lax.while_loop(cond, body, state)
+        if last:
+            break
+        nxt = sizes[li + 1]
+        order = jnp.argsort(~state[ALIVE])  # stable: live lanes first
+        idx = order[:nxt]
+        sel_alive = state[ALIVE][idx]
+        # dead slots scatter out of bounds -> dropped at writeback
+        scatter_idx = jnp.where(sel_alive, idx, size)
+        scatter_stack.append((state[0], scatter_idx))
+        att_acc = att_acc + jnp.sum(state[ATT]) - jnp.sum(state[ATT][idx])
+        state = tuple(
+            v if i in (NFB, IT) else v[idx] for i, v in enumerate(state)
+        )
+
+    paths, n_fb = state[0], state[NFB]
+    n_att = att_acc + jnp.sum(state[ATT])
+    for parent_paths, scatter_idx in reversed(scatter_stack):
+        paths = parent_paths.at[scatter_idx].set(paths, mode="drop")
+    return paths, n_fb, n_att
 
 
 blocked_walk_chunk = jax.jit(

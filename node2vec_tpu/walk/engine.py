@@ -140,6 +140,7 @@ def walk_chunk_impl(
 
         if uniform_bias:
             m1 = jnp.zeros((n_walkers,), jnp.float32)
+            only_back = jnp.zeros((n_walkers,), bool)
         else:
             # branch-A mass: weight of the back-edge (cur -> prev), if any
             pos = searchsorted_in_segments(
@@ -153,6 +154,11 @@ def walk_chunk_impl(
             )
             w_back = jnp.where(has_back, weights[pos_safe], 0.0)
             m1 = w_back * inv_p
+            # degree-1 vertex whose sole neighbor is prev: the back edge is
+            # the ONLY candidate — force the move instead of spinning the
+            # rejection loop (branch B can never accept there; at extreme
+            # p/q every round failed, ROADMAP round-2 item 4)
+            only_back = has_back & (degree == 1)
         m2 = wtot[cur_safe] * alpha2_max
         p_branch1 = m1 / jnp.maximum(m1 + m2, 1e-30)
 
@@ -219,8 +225,8 @@ def walk_chunk_impl(
         key, k_loop = jax.random.split(key)
         init = (
             k_loop,
-            jnp.zeros((n_walkers,), dtype=jnp.int32),
-            jnp.zeros((n_walkers,), dtype=bool),
+            jnp.where(only_back, prev, 0).astype(jnp.int32),
+            only_back,
             jnp.int32(0),
         )
         _, nxt, _, _ = jax.lax.while_loop(cond_fn, body_fn, init)
@@ -303,6 +309,7 @@ class WalkEngine:
         self.bgraph = None
         self.pgraph = None
         self.fallback_count = 0  # blocked engines: trial-capped ∝w accepts
+        self.attempt_count = 0  # blocked engines: total sampling attempts
         self.unfinished_count = 0  # ep_blocked: walkers stopped at the bound
         if isinstance(graph, Graph):
             indptr, indices, weights = graph.indptr, graph.indices, graph.weights
@@ -366,7 +373,7 @@ class WalkEngine:
 
             bg = self.bgraph
             gids = jnp.arange(gid_base, gid_base + len(chunk_starts), dtype=jnp.int32)
-            paths, n_fb = blocked_walk_chunk(
+            paths, n_fb, n_att = blocked_walk_chunk(
                 bg.light,
                 bg.biw,
                 bg.bids,
@@ -383,6 +390,7 @@ class WalkEngine:
                 has_heavy=bg.has_heavy,
             )
             self.fallback_count += int(n_fb)
+            self.attempt_count += int(n_att)
             return paths
         g = self.dgraph
         return walk_chunk(
@@ -476,7 +484,7 @@ class WalkEngine:
             gids = jnp.arange(
                 gid_base, gid_base + len(chunk_starts), dtype=jnp.int32
             )
-            out, n_fb = sharded_blocked_walk_chunk(
+            out, n_fb, n_att = sharded_blocked_walk_chunk(
                 self.mesh,
                 bg.light,
                 bg.biw,
@@ -494,6 +502,7 @@ class WalkEngine:
                 has_heavy=bg.has_heavy,
             )
             self.fallback_count += int(n_fb.sum())
+            self.attempt_count += int(n_att.sum())
         else:
             g = self.dgraph
             out = sharded_walk_chunk(

@@ -226,6 +226,26 @@ def test_chunk_invariance():
     np.testing.assert_array_equal(w_small, w_big)
 
 
+def test_tail_compaction_bit_matches_uncompacted():
+    """Chunks >= 16384 lanes trigger the straggler-compaction cascade; the
+    counter-keyed RNG must make compacted walks bit-identical to the same
+    walks run in small chunks (which never compact)."""
+    rng = np.random.default_rng(7)
+    n_v = 3000
+    src = rng.integers(0, n_v, 24000).astype(np.int32)
+    dst = rng.integers(0, n_v, 24000).astype(np.int32)
+    keep = src != dst
+    g = from_edge_arrays(src[keep], dst[keep], directed=False)
+    kw = dict(num_walks=6, walk_length=8, return_param=0.25, inout_param=4.0)
+    w_casc = WalkEngine(
+        g, Node2VecParams(walker_chunk=1 << 15, **kw), strategy="blocked"
+    ).run(seed=9)  # 18000 lanes in one chunk -> cascade active
+    w_small = WalkEngine(
+        g, Node2VecParams(walker_chunk=4096, **kw), strategy="blocked"
+    ).run(seed=9)  # 4096-lane chunks -> single level
+    np.testing.assert_array_equal(w_casc, w_small)
+
+
 def test_determinism_and_seed_variation():
     g = _hub_graph()
     params = Node2VecParams(num_walks=2, walk_length=5, return_param=0.5,
@@ -245,7 +265,7 @@ def test_sink_death_and_padding():
     bg = build_blocked_graph(g.indptr, g.indices, g.weights, light_width=8)
     starts = jnp.asarray(np.array([0, 3, -1], dtype=np.int32))
     gids = jnp.arange(3, dtype=jnp.int32)
-    paths, n_fb = blocked_walk_chunk(
+    paths, n_fb, _ = blocked_walk_chunk(
         bg.light, bg.biw, bg.bids, bg.brp, starts, gids, jnp.uint32(0),
         walk_length=4, return_param=1.0, inout_param=1.0, max_trials=16,
         light_width=bg.light_width, block_width=bg.block_width,

@@ -29,7 +29,7 @@ def mesh():
 
 def _single_device_walks(g, starts, gids, seed, wl, p, q):
     bg = build_blocked_graph(g.indptr, g.indices, g.weights)
-    paths, _ = blocked_walk_chunk(
+    paths, _, _ = blocked_walk_chunk(
         bg.light, bg.biw, bg.bids, bg.brp, jnp.asarray(starts), gids,
         jnp.uint32(seed), walk_length=wl, return_param=p, inout_param=q,
         max_trials=64, light_width=bg.light_width,

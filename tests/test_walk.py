@@ -160,6 +160,28 @@ def test_both_strategies_match_analytic_distribution(strategy):
     assert res.pvalue > 1e-4, (strategy, counts, target * counts.sum())
 
 
+@pytest.mark.parametrize("p,q", [(4.0, 0.25), (0.25, 4.0)])
+def test_csr_degree_one_back_edge_forced(p, q):
+    """A degree-1 vertex whose sole neighbor is prev has exactly one legal
+    move; the CSR engine must take it directly instead of spinning the
+    rejection loop (branch B can never accept there — the deg-1 spiral that
+    faulted the runtime at extreme p/q, ROADMAP round-2 item 4)."""
+    # pendant chain: 0 - 1 (deg(0)=1), plus 1 - 2 so walks keep going
+    src = np.array([0, 1, 1, 2], dtype=np.int32)
+    dst = np.array([1, 0, 2, 1], dtype=np.int32)
+    g = from_edge_arrays(src, dst, directed=True)
+    params = Node2VecParams(
+        num_walks=200, walk_length=8, return_param=p, inout_param=q,
+        walker_chunk=1 << 10,
+    )
+    engine = WalkEngine(g, params, strategy="csr")
+    walks = engine.run(seed=5, start_vertices=np.array([0], dtype=np.int32))
+    assert (walks >= 0).all()  # chain has no sinks: every step must advance
+    # any arrival at 0 (from 1) must bounce straight back to 1
+    at0 = walks[:, :-1] == 0
+    assert (walks[:, 1:][at0] == 1).all()
+
+
 def test_run_device_matches_run(karate_edges):
     """Host-returning and device-resident walk paths must agree exactly."""
     src, dst = karate_edges
