@@ -280,6 +280,7 @@ class WalkEngine:
         dense_max_degree: int = 256,
         mesh=None,
         graph_sharded: bool = False,
+        partitioned_graph=None,
     ):
         """``graph_sharded=True`` (requires ``mesh``): the adjacency itself is
         range-partitioned across the mesh's 'data' axis (each device holds
@@ -328,13 +329,18 @@ class WalkEngine:
 
             self.bgraph = build_blocked_graph(indptr, indices, weights)
         elif strategy == "ep_blocked":
-            from node2vec_tpu.parallel.edge_partitioned_blocked import (
-                partition_blocked_graph,
-            )
+            if partitioned_graph is not None:
+                # pre-packed shards (load_partitioned_graph) — per-host
+                # loading never rebuilds the full adjacency
+                self.pgraph = partitioned_graph
+            else:
+                from node2vec_tpu.parallel.edge_partitioned_blocked import (
+                    partition_blocked_graph,
+                )
 
-            self.pgraph = partition_blocked_graph(
-                indptr, indices, weights, mesh.shape["data"], mesh=mesh
-            )
+                self.pgraph = partition_blocked_graph(
+                    indptr, indices, weights, mesh.shape["data"], mesh=mesh
+                )
 
     def _effective_chunk(self, n_total: int) -> int:
         chunk = min(self.params.walker_chunk, max(n_total, 1))
