@@ -35,8 +35,8 @@ class Word2VecTPU:
         self.params = params or Word2VecParams()
         self.shared_negatives = shared_negatives
         self.vocab: Optional[Vocabulary] = None
-        self.emb_in: Optional[np.ndarray] = None
-        self.emb_out: Optional[np.ndarray] = None
+        self._emb_in = None  # device or host array; host view is lazy
+        self._emb_out = None
         self._losses: list = []
 
     def fit(
@@ -158,8 +158,8 @@ class Word2VecTPU:
                     np.asarray(acc_out),
                 )
 
-        self.emb_in = np.asarray(emb_in)
-        self.emb_out = np.asarray(emb_out)
+        self.emb_in = emb_in
+        self.emb_out = emb_out
         return self
 
     def fit_streaming(
@@ -269,8 +269,8 @@ class Word2VecTPU:
                     "streaming epoch %d/%d loss=%.4f", epoch + 1, p.max_iter,
                     self._losses[-1],
                 )
-        self.emb_in = np.asarray(emb_in)
-        self.emb_out = np.asarray(emb_out)
+        self.emb_in = emb_in
+        self.emb_out = emb_out
         return self
 
     def _fit_hs(self, walks, is_device, verbose, timer=None) -> "Word2VecTPU":
@@ -339,8 +339,8 @@ class Word2VecTPU:
                     "hs epoch %d/%d loss=%.4f", epoch + 1, p.max_iter,
                     self._losses[-1],
                 )
-        self.emb_in = np.asarray(emb_in)
-        self.emb_out = np.asarray(theta)
+        self.emb_in = emb_in
+        self.emb_out = theta
         return self
 
     def fit_sharded(
@@ -450,8 +450,8 @@ class Word2VecTPU:
                     self._losses[-1],
                 )
 
-        self.emb_in = np.asarray(state.emb_in)
-        self.emb_out = np.asarray(state.emb_out)
+        self.emb_in = state.emb_in
+        self.emb_out = state.emb_out
         return self
 
     def _fit_row_sharded(
@@ -543,9 +543,32 @@ class Word2VecTPU:
         return self
 
     @property
+    def emb_in(self) -> Optional[np.ndarray]:
+        """Input table as numpy; device->host readback happens lazily here
+        (the tunnel readback of a [V, D] table costs seconds — training code
+        keeps results on device and only a host consumer pays this)."""
+        if self._emb_in is not None and not isinstance(self._emb_in, np.ndarray):
+            self._emb_in = np.asarray(self._emb_in)
+        return self._emb_in
+
+    @emb_in.setter
+    def emb_in(self, v) -> None:
+        self._emb_in = v
+
+    @property
+    def emb_out(self) -> Optional[np.ndarray]:
+        if self._emb_out is not None and not isinstance(self._emb_out, np.ndarray):
+            self._emb_out = np.asarray(self._emb_out)
+        return self._emb_out
+
+    @emb_out.setter
+    def emb_out(self, v) -> None:
+        self._emb_out = v
+
+    @property
     def vectors(self) -> np.ndarray:
         """Input embedding table [V, D] (word2vec convention: input side)."""
-        if self.emb_in is None:
+        if self._emb_in is None:
             raise RuntimeError("model not fitted yet")
         return self.emb_in
 
