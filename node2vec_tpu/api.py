@@ -51,6 +51,7 @@ class Node2Vec:
         walk_seed_vertices: Optional[np.ndarray] = None,
         mesh=None,
         graph_sharded: bool = False,
+        table_sharding: str = "column",
     ):
         """``mesh``: optional jax (data × model) Mesh — walks shard walkers
         over 'data' and fit() trains TP×DP sharded (see node2vec_tpu.parallel).
@@ -59,7 +60,18 @@ class Node2Vec:
         range-partitioned across devices — each device holds only its vertex
         range and walk supersteps exchange sampling requests via all-to-all
         (the layout for graphs beyond one device's HBM).
+
+        ``table_sharding`` (mesh training only): ``"column"`` keeps a full
+        embedding-table replica per data shard (TP columns, bit-matches the
+        single-device trainer under TP-only meshes); ``"row"`` mod-shards
+        rows over all devices with sparse all-to-all gradient routing —
+        per-step comm O(batch·D) independent of V, for tables beyond one
+        device's HBM.
         """
+        if table_sharding not in ("column", "row"):
+            raise ValueError(
+                f"table_sharding must be 'column' or 'row', got {table_sharding!r}"
+            )
         if isinstance(n2v_params, Node2VecParams):
             self.n2v_params = n2v_params
         else:
@@ -74,6 +86,7 @@ class Node2Vec:
         self.walk_seed_vertices = walk_seed_vertices
         self.mesh = mesh
         self.graph_sharded = graph_sharded
+        self.table_sharding = table_sharding
         self.graph: Optional[Graph] = None
         self.walks: Optional[np.ndarray] = None
         self.backend: Optional[Node2VecTPUEmbedding] = None
@@ -162,6 +175,7 @@ class Node2Vec:
             self.backend.model.fit_sharded(
                 np.asarray(walks_dev), self.mesh,
                 n_vertices=self.graph.n_vertices, verbose=verbose,
+                table_sharding=self.table_sharding,
             )
         else:
             self.backend.model.fit(
@@ -185,7 +199,8 @@ class Node2Vec:
         n_v = self.graph.n_vertices if self.graph else None
         if self.mesh is not None:
             self.backend.model.fit_sharded(
-                self.walks, self.mesh, n_vertices=n_v, verbose=verbose
+                self.walks, self.mesh, n_vertices=n_v, verbose=verbose,
+                table_sharding=self.table_sharding,
             )
         else:
             self.backend.model.fit(

@@ -185,6 +185,34 @@ def test_node2vec_full_pipeline_on_mesh(mesh8, karate_edges):
     assert np.isfinite(model.vectors).all()
 
 
+def test_node2vec_row_sharded_table_via_driver(mesh8, karate_edges):
+    """table_sharding='row' reachable from the public driver (VERDICT item 2:
+    row-sharded training must not be an internal-only path)."""
+    import pandas as pd
+
+    from node2vec_tpu import Node2Vec
+
+    src, dst = karate_edges
+    df = pd.DataFrame({"src": src, "dst": dst})
+    n2v = Node2Vec(
+        n2v_params={"num_walks": 4, "walk_length": 6},
+        w2v_params={"min_count": 1, "vector_size": 32, "max_iter": 2,
+                    "batch_walks": 64},
+        random_seed=3,
+        mesh=mesh8,
+        table_sharding="row",
+    )
+    n2v.preprocess_input_graph(df, indexed=True, directed=False)
+    n2v.random_walk()
+    n2v.fit()
+    emb = n2v.embedding()
+    assert len(emb) == 34
+    assert np.isfinite(np.stack(emb["vector"].to_numpy())).all()
+
+    with pytest.raises(ValueError):
+        Node2Vec(table_sharding="diagonal")
+
+
 def test_sharded_sgns_tp_only_equals_single_device(karate_edges):
     """With n_data=1 the TP-sharded step must match the single-device step
     bit-for-bit (column sharding only splits the dim axis)."""
