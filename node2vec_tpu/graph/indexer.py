@@ -24,7 +24,21 @@ def index_edges(
     Returns (src_ids int32, dst_ids int32, names) where ``names[id]`` is the
     original vertex name (sorted ascending, so ids are deterministic).
     """
-    all_names = np.concatenate([np.asarray(src), np.asarray(dst)])
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    if (
+        np.issubdtype(src.dtype, np.integer)
+        and np.issubdtype(dst.dtype, np.integer)
+    ):
+        from node2vec_tpu import native
+
+        if native.available():
+            # parallel C++ path (bit-compatible: sorted-unique order either way)
+            src_ids, dst_ids, names = native.index_edges_i64(src, dst)
+            if names.size and src.dtype != np.int64:
+                names = names.astype(src.dtype)
+            return src_ids, dst_ids, names
+    all_names = np.concatenate([src, dst])
     names, inverse = np.unique(all_names, return_inverse=True)
     if len(names) > np.iinfo(np.int32).max:
         raise ValueError(f"Too many vertices for int32 ids: {len(names)}")

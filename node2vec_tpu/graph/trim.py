@@ -45,6 +45,22 @@ def trim_hotspot_edges(
     deg = np.bincount(codes, minlength=int(codes.max()) + 1 if n else 0)
     if (deg <= max_out_degree).all():
         return src, np.asarray(dst), weight
+    from node2vec_tpu import native
+
+    if native.available():
+        # parallel C++ path: per-vertex partial Fisher-Yates, deterministic
+        # under the seed (a different uniform subset than the numpy fallback —
+        # both valid; the reference's two paths likewise differ, SURVEY §2.6)
+        seed_val = (
+            random_seed
+            if random_seed is not None
+            else int(np.random.default_rng().integers(2**62))
+        )
+        keep = native.trim_hotspot(codes, len(deg), max_out_degree, seed_val)
+        kept = np.flatnonzero(keep)  # ascending: original edge order preserved
+        w = None if weight is None else np.asarray(weight)[kept]
+        return src[kept], np.asarray(dst)[kept], w
+
     over = deg[codes] > max_out_degree
     idx = np.flatnonzero(over)  # edges of offender vertices only
     s_over = codes[idx]

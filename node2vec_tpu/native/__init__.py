@@ -86,6 +86,26 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int32,
     ]
+    lib.n2v_index_edges_i64.restype = ctypes.c_int64
+    lib.n2v_index_edges_i64.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+    ]
+    lib.n2v_trim_hotspot.restype = ctypes.c_int
+    lib.n2v_trim_hotspot.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+        ctypes.c_int64,
+        ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32,
+    ]
     lib.n2v_mirror_dedup.restype = ctypes.c_int64
     lib.n2v_mirror_dedup.argtypes = [
         ctypes.c_int64,
@@ -175,6 +195,64 @@ def edge_has_shared(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
         _N_THREADS,
     )
     return out
+
+
+def index_edges_i64(
+    src: np.ndarray, dst: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Integer-name indexing: (src_ids, dst_ids, sorted distinct names).
+
+    Bit-compatible with the numpy ``np.unique`` fallback (both produce
+    sorted-unique id order); parallel sort + binary-search relabel.
+    """
+    lib = _load()
+    assert lib is not None
+    n_edges = len(src)
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    names = np.empty(2 * n_edges, dtype=np.int64)
+    src_ids = np.empty(n_edges, dtype=np.int32)
+    dst_ids = np.empty(n_edges, dtype=np.int32)
+    n_names = lib.n2v_index_edges_i64(
+        n_edges,
+        _ptr(src, ctypes.c_int64),
+        _ptr(dst, ctypes.c_int64),
+        _ptr(names, ctypes.c_int64),
+        _ptr(src_ids, ctypes.c_int32),
+        _ptr(dst_ids, ctypes.c_int32),
+        _N_THREADS,
+    )
+    if n_names < 0:
+        raise ValueError("Too many vertices for int32 ids")
+    return src_ids, dst_ids, names[:n_names].copy()
+
+
+def trim_hotspot(
+    codes: np.ndarray, n_vertices: int, max_out_degree: int, seed: int
+) -> np.ndarray:
+    """uint8 keep-mask: at most ``max_out_degree`` random out-edges per vertex.
+
+    Deterministic for a given seed (per-vertex splitmix64 streams), independent
+    of thread count.  The random subset differs from the numpy fallback's (both
+    are uniform samples; neither is canonical — the reference's two paths
+    differ the same way, SURVEY.md §2.6).
+    """
+    lib = _load()
+    assert lib is not None
+    codes = np.ascontiguousarray(codes, dtype=np.int32)
+    keep = np.zeros(len(codes), dtype=np.uint8)
+    rc = lib.n2v_trim_hotspot(
+        len(codes),
+        _ptr(codes, ctypes.c_int32),
+        n_vertices,
+        max_out_degree,
+        ctypes.c_uint64(seed & 0xFFFFFFFFFFFFFFFF),
+        _ptr(keep, ctypes.c_uint8),
+        _N_THREADS,
+    )
+    if rc != 0:
+        raise ValueError(f"n2v_trim_hotspot failed with status {rc}")
+    return keep
 
 
 def mirror_dedup(

@@ -69,6 +69,15 @@ void parallel_sort(It first, It last, int n_threads) {
   }
 }
 
+// splitmix64: tiny keyed PRNG — per-vertex streams make trimming results
+// deterministic for a given seed regardless of thread count.
+inline uint64_t splitmix64(uint64_t& x) {
+  uint64_t z = (x += 0x9e3779b97f4a7c15ULL);
+  z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+  return z ^ (z >> 31);
+}
+
 }  // namespace
 
 extern "C" {
@@ -234,6 +243,75 @@ int n2v_edge_has_shared(int32_t n_vertices, const int64_t* indptr,
       if (x < y) ++a; else ++b;
     }
     out[e] = found;
+  });
+  return 0;
+}
+
+// Parallel vertex indexing for integer names: map arbitrary int64 vertex
+// names to dense int32 ids in sorted-unique order (the reference's spark
+// indexer ordering: distinct().sort().zipWithIndex, indexer.py:69-71; the
+// numpy fallback's np.unique gives the identical mapping, so the two paths
+// are bit-compatible).  names_out must be caller-allocated with 2*n_edges
+// slots; the first n_names hold the sorted distinct names on return.
+// Returns n_names, or -1 if the vertex count overflows int32.
+int64_t n2v_index_edges_i64(int64_t n_edges, const int64_t* src,
+                            const int64_t* dst, int64_t* names_out,
+                            int32_t* src_ids, int32_t* dst_ids,
+                            int32_t n_threads) {
+  int64_t m = 2 * n_edges;
+  parallel_for(n_edges, n_threads, [&](int64_t e) {
+    names_out[e] = src[e];
+    names_out[n_edges + e] = dst[e];
+  });
+  parallel_sort(names_out, names_out + m, n_threads);
+  int64_t n_names = std::unique(names_out, names_out + m) - names_out;
+  if (n_names > INT32_MAX) return -1;
+  parallel_for(n_edges, n_threads, [&](int64_t e) {
+    src_ids[e] = static_cast<int32_t>(
+        std::lower_bound(names_out, names_out + n_names, src[e]) - names_out);
+    dst_ids[e] = static_cast<int32_t>(
+        std::lower_bound(names_out, names_out + n_names, dst[e]) - names_out);
+  });
+  return n_names;
+}
+
+// Hotspot trimming: keep[e]=1 for a uniform random subset of at most max_out
+// out-edges per source vertex (reference randomwalk.py:238-262 does a per-src
+// pandas .sample; spark.py:240-278 a random.sample per partition dict).
+// Partial Fisher-Yates per offender vertex with a splitmix64 stream keyed by
+// (seed, vertex): results are deterministic under a seed and independent of
+// n_threads.  codes must be dense non-negative ids < n_vertices.
+int n2v_trim_hotspot(int64_t n_edges, const int32_t* codes, int32_t n_vertices,
+                     int64_t max_out, uint64_t seed, uint8_t* keep,
+                     int32_t n_threads) {
+  if (n_edges < 0 || n_vertices < 0 || max_out <= 0) return -1;
+  std::vector<int64_t> indptr(static_cast<size_t>(n_vertices) + 1, 0);
+  for (int64_t e = 0; e < n_edges; ++e) {
+    int32_t c = codes[e];
+    if (c < 0 || c >= n_vertices) return -2;
+    ++indptr[c + 1];
+  }
+  for (int32_t v = 0; v < n_vertices; ++v) indptr[v + 1] += indptr[v];
+  std::vector<int64_t> order(n_edges);
+  {
+    std::vector<int64_t> cursor(indptr.begin(), indptr.end() - 1);
+    for (int64_t e = 0; e < n_edges; ++e) order[cursor[codes[e]]++] = e;
+  }
+  parallel_for(n_vertices, n_threads, [&](int64_t v) {
+    int64_t lo = indptr[v], hi = indptr[v + 1];
+    int64_t deg = hi - lo;
+    if (deg <= max_out) {
+      for (int64_t k = lo; k < hi; ++k) keep[order[k]] = 1;
+      return;
+    }
+    uint64_t state = seed ^ (static_cast<uint64_t>(v) * 0x9e3779b97f4a7c15ULL);
+    splitmix64(state);  // decorrelate nearby vertex keys
+    for (int64_t i = 0; i < max_out; ++i) {
+      int64_t j = i + static_cast<int64_t>(splitmix64(state) %
+                                           static_cast<uint64_t>(deg - i));
+      std::swap(order[lo + i], order[lo + j]);
+      keep[order[lo + i]] = 1;
+    }
   });
   return 0;
 }

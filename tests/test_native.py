@@ -64,3 +64,48 @@ def test_native_rejects_out_of_range():
     src = np.array([0, 50], dtype=np.int32)
     dst = np.array([1, 0], dtype=np.int32)
     pytest.raises(ValueError, native.build_csr, src, dst, None, 10)
+
+
+def test_index_edges_native_matches_numpy(monkeypatch):
+    from node2vec_tpu.graph import indexer
+
+    rng = np.random.default_rng(9)
+    # sparse non-contiguous integer names, including negatives
+    src = rng.choice(np.arange(-500, 10_000, 7), 5000)
+    dst = rng.choice(np.arange(-500, 10_000, 7), 5000)
+    s_n, d_n, names_n = indexer.index_edges(src, dst)  # native path
+    monkeypatch.setattr(native, "available", lambda: False)
+    s_f, d_f, names_f = indexer.index_edges(src, dst)  # numpy fallback
+    np.testing.assert_array_equal(names_n, names_f)
+    np.testing.assert_array_equal(s_n, s_f)
+    np.testing.assert_array_equal(d_n, d_f)
+    assert s_n.dtype == np.int32 and d_n.dtype == np.int32
+    # round trip: ids map back to the original names
+    np.testing.assert_array_equal(names_n[s_n], np.asarray(src))
+    np.testing.assert_array_equal(names_n[d_n], np.asarray(dst))
+
+
+def test_trim_hotspot_native():
+    from node2vec_tpu.graph.trim import trim_hotspot_edges
+
+    rng = np.random.default_rng(3)
+    # vertex 0 is a hub with 5000 out-edges; others stay under the cap
+    src = np.concatenate([np.zeros(5000, np.int32),
+                          rng.integers(1, 50, 2000).astype(np.int32)])
+    dst = rng.integers(0, 50, 7000).astype(np.int32)
+    w = np.arange(7000, dtype=np.float32)
+    s, d, wt = trim_hotspot_edges(src, dst, w, max_out_degree=100, random_seed=11)
+    assert (s == 0).sum() == 100
+    assert np.bincount(s).max() <= 100
+    # (dst, weight) pairing preserved through the mask
+    orig = {i: (dst[i], w[i]) for i in range(7000)}
+    kept_pairs = set(zip(d.tolist(), wt.tolist()))
+    assert kept_pairs <= set((v[0], v[1]) for v in orig.values())
+    # deterministic under a seed; different seed -> different subset
+    s2, d2, _ = trim_hotspot_edges(src, dst, w, max_out_degree=100, random_seed=11)
+    np.testing.assert_array_equal(d, d2)
+    s3, d3, _ = trim_hotspot_edges(src, dst, w, max_out_degree=100, random_seed=12)
+    assert not np.array_equal(d[:100], d3[:100])
+    # the kept subset of the hub is not a positional prefix (real sampling)
+    hub_kept = wt[s == 0]
+    assert hub_kept.max() > 200
