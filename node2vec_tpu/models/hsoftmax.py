@@ -123,6 +123,7 @@ def hs_walk_step_impl(
     walks_safe = jnp.where(walks >= 0, walks, 0)
     valid_pos = (walks >= 0) & vocab_mask[walks_safe]
     x_in = emb_in[walks_safe]  # [B, L1, D]
+    x_bf = x_in.astype(jnp.bfloat16)
     pts = hs_points[walks_safe]  # [B, L1, CL] — path of each position's vertex
     cds = hs_codes[walks_safe].astype(jnp.float32)
     plen = hs_len[walks_safe]
@@ -130,7 +131,10 @@ def hs_walk_step_impl(
         jax.lax.broadcasted_iota(jnp.int32, (n_walks, length, cl), 2)
         < plen[..., None]
     ).astype(jnp.float32)
-    th = theta[pts]  # [B, L1, CL, D] — the big gather
+    # the [B, L1, CL, D] path tensors dominate HBM traffic — hold them in
+    # bfloat16 (masters stay fp32; logits/loss accumulate fp32 via
+    # preferred_element_type, so only gradient *storage* is rounded)
+    th = theta.astype(jnp.bfloat16)[pts]  # [B, L1, CL, D] — the big gather
     sgn = 1.0 - 2.0 * cds  # [B, L1, CL]
 
     offsets = [d for d in range(-window, window + 1) if d != 0]
@@ -145,7 +149,7 @@ def hs_walk_step_impl(
         return jax.lax.dynamic_slice_in_dim(xp, d + window, length, axis=1)
 
     g_in = jnp.zeros_like(x_in)
-    g_th = jnp.zeros_like(th)  # accumulated per context position's path
+    g_th = jnp.zeros_like(th)  # bf16 accumulator per context position's path
     loss = jnp.float32(0.0)
     n_pairs = jnp.float32(0.0)
 
@@ -156,9 +160,9 @@ def hs_walk_step_impl(
         pv = (valid_pos & shift(valid_pos, d) & (abs(d) <= b_sh)).astype(
             jnp.float32
         )
-        # logits over the path: [B, L1, CL]
+        # logits over the path: [B, L1, CL], fp32 accumulation on the MXU
         logit = jnp.einsum(
-            "bld,blcd->blc", x_in, th_c, preferred_element_type=jnp.float32
+            "bld,blcd->blc", x_bf, th_c, preferred_element_type=jnp.float32
         )
         m = pv[..., None] * pm_c
         loss = loss - jnp.sum(_log_sigmoid(sgn_c * logit) * m)
@@ -166,12 +170,13 @@ def hs_walk_step_impl(
         # d/dlogit of -logσ(s·x) = σ(x) - t with 0/1 target t = (1+s)/2
         # (code 0 → s=+1 → target 1; code 1 → s=-1 → target 0)
         g = (jax.nn.sigmoid(logit) - (1.0 + sgn_c) / 2.0) * m
+        g_bf = g.astype(jnp.bfloat16)
         g_in = g_in + jnp.einsum(
-            "blc,blcd->bld", g, th_c, preferred_element_type=jnp.float32
+            "blc,blcd->bld", g_bf, th_c, preferred_element_type=jnp.float32
         )
         g_th = g_th + shift(
-            jnp.einsum("blc,bld->blcd", g, x_in,
-                       preferred_element_type=jnp.float32),
+            jnp.einsum("blc,bld->blcd", g_bf, x_bf,
+                       preferred_element_type=jnp.bfloat16),
             -d,
         )
 
@@ -184,7 +189,7 @@ def hs_walk_step_impl(
     row_valid = (walks >= 0).reshape(-1).astype(jnp.float32)
     g_in_flat = g_in.reshape(-1, dim)
     prow = pts.reshape(-1)
-    g_th_flat = g_th.reshape(-1, dim)
+    g_th_flat = g_th.reshape(-1, dim).astype(jnp.float32)
     th_valid = (pmask.reshape(-1) > 0).astype(jnp.float32) * jnp.repeat(
         row_valid, cl
     )

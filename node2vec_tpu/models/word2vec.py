@@ -206,9 +206,21 @@ class Word2VecTPU:
         ns_prob = jnp.asarray(self.vocab.ns_prob)
         vocab_mask = jnp.asarray(self.vocab.mask)
 
+        use_hs = p.negative == 0  # reference default objective (HS)
         emb_in, emb_out, acc_in, acc_out = init_embeddings(
             n_vertices, p.vector_size, seed=p.seed
         )
+        if use_hs:
+            from node2vec_tpu.models.hsoftmax import build_huffman, hs_epoch
+
+            tree = build_huffman(self.vocab.counts)
+            hs_points = jnp.asarray(tree.points)
+            hs_codes = jnp.asarray(tree.codes)
+            hs_len = jnp.asarray(tree.lengths)
+            # emb_out/acc_out slots carry the inner-node table (syn1) so the
+            # streaming loop below is objective-agnostic
+            emb_out = jnp.zeros((tree.n_inner, p.vector_size), jnp.float32)
+            acc_out = jnp.zeros((tree.n_inner,), jnp.float32)
         root_key = jax.random.PRNGKey(p.seed)
         rng = np.random.default_rng(p.seed)
 
@@ -247,15 +259,28 @@ class Word2VecTPU:
                 )
                 if ctx is not None:
                     ctx.__enter__()
-                emb_in, emb_out, acc_in, acc_out, losses = sgns_epoch(
-                    emb_in, emb_out, acc_in, acc_out, shuffled, root_key,
-                    jnp.int32(step0), jnp.float32(p.step_size),
-                    jnp.float32(lr_slope), ns_alias, ns_prob, vocab_mask,
-                    batch=batch, n_batches=n_batches, window=p.window_size,
-                    negatives=p.negative,
-                    shared_negatives=self.shared_negatives,
-                    shrink_window=p.shrink_window, min_lr=p.min_step_size,
-                )
+                if use_hs:
+                    emb_in, emb_out, acc_in, acc_out, losses = hs_epoch(
+                        emb_in, emb_out, acc_in, acc_out, shuffled, root_key,
+                        jnp.int32(step0), jnp.float32(p.step_size),
+                        jnp.float32(lr_slope), hs_points, hs_codes, hs_len,
+                        vocab_mask,
+                        batch=batch, n_batches=n_batches,
+                        window=p.window_size,
+                        shrink_window=p.shrink_window,
+                        min_lr=p.min_step_size,
+                    )
+                else:
+                    emb_in, emb_out, acc_in, acc_out, losses = sgns_epoch(
+                        emb_in, emb_out, acc_in, acc_out, shuffled, root_key,
+                        jnp.int32(step0), jnp.float32(p.step_size),
+                        jnp.float32(lr_slope), ns_alias, ns_prob, vocab_mask,
+                        batch=batch, n_batches=n_batches,
+                        window=p.window_size,
+                        negatives=p.negative,
+                        shared_negatives=self.shared_negatives,
+                        shrink_window=p.shrink_window, min_lr=p.min_step_size,
+                    )
                 if ctx is not None:
                     ctx.__exit__(None, None, None)
                 step0 += n_batches
@@ -376,6 +401,14 @@ class Word2VecTPU:
             init_sharded_state,
         )
 
+        if self.params.negative == 0:
+            # HS needs sharded inner-node tables + path routing — not built;
+            # fail loudly rather than silently training positives-only SGNS
+            raise ValueError(
+                "hierarchical softmax (negative=0) is not supported by the "
+                "sharded trainer yet — use negative>0 here, or fit()/"
+                "fit_streaming() which train HS on a single device"
+            )
         if table_sharding == "row":
             return self._fit_row_sharded(walks, mesh, n_vertices, verbose)
 

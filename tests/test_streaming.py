@@ -59,6 +59,47 @@ def test_fit_streaming_quality():
     assert m.vocab.counts.sum() == 40 * g.n_vertices * 9
 
 
+def test_fit_streaming_hs_objective():
+    """negative=0 (the reference default, HS) trains through the streaming
+    path too — inner-node table rides the emb_out slot."""
+    g = _clique_graph()
+    params = Node2VecParams(num_walks=40, walk_length=8, walker_chunk=256)
+    eng = WalkEngine(g, params)
+    n_chunks, chunk, source = eng.chunk_source(seed=0)
+    assert n_chunks > 1
+    w2v = Word2VecParams(
+        min_count=1, vector_size=32, max_iter=5, step_size=0.05,
+        batch_walks=128, negative=0,
+    )
+    m = Word2VecTPU(w2v).fit_streaming(source, n_chunks, g.n_vertices)
+    assert m._losses[-1] < m._losses[0]
+    emb = m.vectors / np.maximum(
+        np.linalg.norm(m.vectors, axis=1, keepdims=True), 1e-9
+    )
+    sim = emb @ emb.T
+    intra = (sim[:12, :12].sum() - 12) / (12 * 11)
+    inter = sim[:12, 12:].mean()
+    assert intra - inter > 0.2, (intra, inter)
+
+
+def test_fit_sharded_rejects_hs():
+    """Sharded trainers must fail loudly on negative=0, not silently train a
+    degenerate positives-only objective."""
+    import jax
+    import pytest
+
+    from node2vec_tpu.parallel.mesh import make_mesh
+
+    g = _clique_graph()
+    walks = WalkEngine(g, Node2VecParams(num_walks=4, walk_length=6)).run(seed=0)
+    mesh = make_mesh(n_data=2, n_model=2, devices=jax.devices()[:4])
+    m = Word2VecTPU(Word2VecParams(min_count=1, vector_size=32, negative=0))
+    with pytest.raises(ValueError, match="hierarchical softmax"):
+        m.fit_sharded(walks, mesh, n_vertices=g.n_vertices)
+    with pytest.raises(ValueError, match="hierarchical softmax"):
+        m.fit_sharded(walks, mesh, n_vertices=g.n_vertices, table_sharding="row")
+
+
 def test_run_pipeline_streaming_auto():
     from node2vec_tpu import Node2Vec
 
