@@ -202,6 +202,7 @@ def stage_quality(args) -> None:
         vector_size=args.dim,
         max_iter=args.epochs,
         window_size=args.window,
+        negative=args.negative,  # 0 = hierarchical softmax (reference default)
     )
     ratios = [float(r) for r in args.train_ratios.split(",")]
     t0 = time.time()
@@ -265,6 +266,10 @@ def main(argv=None) -> int:
     p_q.add_argument("--dim", type=int, default=128)
     p_q.add_argument("--epochs", type=int, default=5)
     p_q.add_argument("--window", type=int, default=10)
+    p_q.add_argument(
+        "--negative", type=int, default=5,
+        help="negatives per pair; 0 = hierarchical softmax",
+    )
     p_q.add_argument(
         "--train-ratios", default="0.1,0.5,0.9",
         help="comma-separated label-train fractions",
