@@ -86,6 +86,16 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int32,
     ]
+    lib.n2v_edge_metadata.restype = ctypes.c_int
+    lib.n2v_edge_metadata.argtypes = [
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32,
+    ]
     lib.n2v_index_edges_i64.restype = ctypes.c_int64
     lib.n2v_index_edges_i64.argtypes = [
         ctypes.c_int64,
@@ -195,6 +205,35 @@ def edge_has_shared(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
         _N_THREADS,
     )
     return out
+
+
+def edge_metadata(
+    indptr: np.ndarray, indices: np.ndarray, weights: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-edge (rev_enc, pfx) for the blocked walk engine, one parallel pass.
+
+    rev_enc: f32 bits of the reverse-edge weight with the triangle bit in the
+    sign; pfx: weight-CDF prefix of src within N(dst).  See
+    walk/blocked.py:_edge_metadata for semantics; this is its C++ fast path.
+    """
+    lib = _load()
+    assert lib is not None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    weights = np.ascontiguousarray(weights, dtype=np.float32)
+    n_edges = len(indices)
+    rev_enc = np.empty(n_edges, dtype=np.int32)
+    pfx = np.empty(n_edges, dtype=np.float32)
+    lib.n2v_edge_metadata(
+        len(indptr) - 1,
+        _ptr(indptr, ctypes.c_int64),
+        _ptr(indices, ctypes.c_int32),
+        _ptr(weights, ctypes.c_float),
+        _ptr(rev_enc, ctypes.c_int32),
+        _ptr(pfx, ctypes.c_float),
+        _N_THREADS,
+    )
+    return rev_enc, pfx
 
 
 def index_edges_i64(

@@ -247,6 +247,76 @@ int n2v_edge_has_shared(int32_t n_vertices, const int64_t* indptr,
   return 0;
 }
 
+// Per-edge reverse metadata for the blocked walk engine, one parallel pass
+// (replaces the numpy searchsorted/cumsum chain in walk/blocked.py
+// _edge_metadata).  For each edge e = (u -> v):
+//   rev_enc[e] = f32 bits of w(v -> u) (0 if the reverse edge is absent)
+//                with the has-shared-neighbor triangle bit in the sign;
+//   pfx[e]     = weight-CDF prefix of u within N(v) (0 if absent).
+// Rows must be sorted by neighbor id (n2v_build_csr guarantees it).  The
+// shared test probes the smaller row into the larger via binary search when
+// that beats the two-pointer merge — O(min·log max) vs O(du+dv) — which is
+// the difference on hub-hub edges of heavy-tail graphs.
+int n2v_edge_metadata(int32_t n_vertices, const int64_t* indptr,
+                      const int32_t* indices, const float* weights,
+                      int32_t* rev_enc, float* pfx_out, int32_t n_threads) {
+  const int32_t kSign = INT32_MIN;
+  int64_t n_edges = indptr[n_vertices];
+  // row-local exclusive weight prefix, f64 accumulation
+  std::vector<double> cwl(n_edges);
+  parallel_for(n_vertices, n_threads, [&](int64_t v) {
+    double acc = 0.0;
+    for (int64_t k = indptr[v]; k < indptr[v + 1]; ++k) {
+      cwl[k] = acc;
+      acc += weights[k];
+    }
+  });
+  parallel_for(n_edges, n_threads, [&](int64_t e) {
+    int32_t u = static_cast<int32_t>(
+        std::upper_bound(indptr, indptr + n_vertices + 1, e) - indptr - 1);
+    int32_t v = indices[e];
+    int64_t lo = indptr[v], hi = indptr[v + 1];
+    const int32_t* pos = std::lower_bound(indices + lo, indices + hi, u);
+    bool found = pos != indices + hi && *pos == u;
+    float rev_w = 0.0f, pfx = 0.0f;
+    if (found) {
+      int64_t idx = pos - indices;
+      rev_w = weights[idx];
+      pfx = static_cast<float>(cwl[idx]);
+    }
+    // triangle bit: does N(u) ∩ N(v) have any element?
+    int64_t ua = indptr[u], ub = indptr[u + 1];
+    int64_t du = ub - ua, dv = hi - lo;
+    bool shared = false;
+    int64_t dmin = std::min(du, dv);
+    double probe_cost =
+        static_cast<double>(dmin) *
+        (64 - __builtin_clzll(static_cast<uint64_t>(std::max(du, dv)) | 1));
+    if (probe_cost < static_cast<double>(du + dv)) {
+      const int32_t* sf = du <= dv ? indices + ua : indices + lo;
+      const int32_t* sl = du <= dv ? indices + ub : indices + hi;
+      const int32_t* bf = du <= dv ? indices + lo : indices + ua;
+      const int32_t* bl = du <= dv ? indices + hi : indices + ub;
+      for (const int32_t* it = sf; it != sl; ++it) {
+        const int32_t* p = std::lower_bound(bf, bl, *it);
+        if (p != bl && *p == *it) { shared = true; break; }
+      }
+    } else {
+      int64_t a = ua, b = lo;
+      while (a < ub && b < hi) {
+        int32_t x = indices[a], y = indices[b];
+        if (x == y) { shared = true; break; }
+        if (x < y) ++a; else ++b;
+      }
+    }
+    int32_t bits;
+    std::memcpy(&bits, &rev_w, sizeof(bits));
+    rev_enc[e] = shared ? (bits | kSign) : bits;
+    pfx_out[e] = pfx;
+  });
+  return 0;
+}
+
 // Parallel vertex indexing for integer names: map arbitrary int64 vertex
 // names to dense int32 ids in sorted-unique order (the reference's spark
 // indexer ordering: distinct().sort().zipWithIndex, indexer.py:69-71; the

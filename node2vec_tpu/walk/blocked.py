@@ -117,6 +117,11 @@ def _edge_metadata(
     N(dst).  Must be computed globally even for a partitioned build — the
     reverse edge of a shard's edge may live on another shard.
     """
+    from node2vec_tpu import native
+
+    if native.available():
+        # parallel C++ single pass (the numpy chain below is the fallback)
+        return native.edge_metadata(indptr, indices, weights)
     n_v = len(indptr) - 1
     n_e = len(indices)
     deg = np.diff(indptr)

@@ -66,6 +66,20 @@ def test_native_rejects_out_of_range():
     pytest.raises(ValueError, native.build_csr, src, dst, None, 10)
 
 
+def test_edge_metadata_native_matches_numpy(edges, monkeypatch):
+    from node2vec_tpu.walk import blocked
+
+    src, dst, w, n_v = edges
+    ip, ix, wt = csr.build_csr(src, dst, w, n_v)
+    rev_n, pfx_n = blocked._edge_metadata(ip, ix, wt)  # native path
+    monkeypatch.setattr(native, "available", lambda: False)
+    rev_f, pfx_f = blocked._edge_metadata(ip, ix, wt)  # numpy fallback
+    # reverse-weight bits and the triangle sign bit must agree exactly
+    np.testing.assert_array_equal(rev_n, rev_f)
+    # pfx: f64 prefix-sum association differs (global vs per-row) — allclose
+    np.testing.assert_allclose(pfx_n, pfx_f, rtol=1e-6, atol=1e-6)
+
+
 def test_index_edges_native_matches_numpy(monkeypatch):
     from node2vec_tpu.graph import indexer
 
