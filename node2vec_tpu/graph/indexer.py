@@ -29,14 +29,17 @@ def index_edges(
     if (
         np.issubdtype(src.dtype, np.integer)
         and np.issubdtype(dst.dtype, np.integer)
+        and np.can_cast(src.dtype, np.int64)  # uint64 would wrap: fallback
+        and np.can_cast(dst.dtype, np.int64)
     ):
         from node2vec_tpu import native
 
         if native.available():
             # parallel C++ path (bit-compatible: sorted-unique order either way)
             src_ids, dst_ids, names = native.index_edges_i64(src, dst)
-            if names.size and src.dtype != np.int64:
-                names = names.astype(src.dtype)
+            out_dtype = np.result_type(src.dtype, dst.dtype)  # numpy concat rule
+            if names.size and out_dtype != np.int64:
+                names = names.astype(out_dtype)
             return src_ids, dst_ids, names
     all_names = np.concatenate([src, dst])
     names, inverse = np.unique(all_names, return_inverse=True)

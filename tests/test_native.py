@@ -99,6 +99,23 @@ def test_index_edges_native_matches_numpy(monkeypatch):
     np.testing.assert_array_equal(names_n[d_n], np.asarray(dst))
 
 
+def test_index_edges_dtype_edge_cases():
+    from node2vec_tpu.graph import indexer
+
+    # mixed widths: result dtype follows numpy's concatenate promotion
+    src = np.array([1, 2, 3], dtype=np.int8)
+    dst = np.array([10**10, 2, 10**10 + 5], dtype=np.int64)
+    s, d, names = indexer.index_edges(src, dst)
+    assert names.dtype == np.int64
+    np.testing.assert_array_equal(names[d], dst)
+    # uint64 cannot safely cast to int64 -> numpy fallback, still correct
+    srcu = np.array([2**63 + 5, 1], dtype=np.uint64)
+    dstu = np.array([3, 2**63 + 9], dtype=np.uint64)
+    s2, d2, n2 = indexer.index_edges(srcu, dstu)
+    np.testing.assert_array_equal(n2[s2], srcu)
+    np.testing.assert_array_equal(n2[d2], dstu)
+
+
 def test_trim_hotspot_native():
     from node2vec_tpu.graph.trim import trim_hotspot_edges
 
