@@ -402,13 +402,15 @@ class Word2VecTPU:
         )
 
         if self.params.negative == 0:
-            # HS needs sharded inner-node tables + path routing — not built;
-            # fail loudly rather than silently training positives-only SGNS
-            raise ValueError(
-                "hierarchical softmax (negative=0) is not supported by the "
-                "sharded trainer yet — use negative>0 here, or fit()/"
-                "fit_streaming() which train HS on a single device"
-            )
+            if table_sharding != "row":
+                # column-sharded HS would replicate the [n_inner, D] tree
+                # table per data shard — the row mode is the scaling path
+                raise ValueError(
+                    "hierarchical softmax (negative=0) requires "
+                    "table_sharding='row' in the sharded trainer (the "
+                    "inner-node table is row-sharded like the embeddings)"
+                )
+            return self._fit_row_sharded_hs(walks, mesh, n_vertices, verbose)
         if table_sharding == "row":
             return self._fit_row_sharded(walks, mesh, n_vertices, verbose)
 
@@ -573,6 +575,98 @@ class Word2VecTPU:
                 "overflow (raise cap_slack or batch size)", total_dropped,
             )
         self.emb_in, self.emb_out = unshard_rows(state, n_dev)
+        return self
+
+    def _fit_row_sharded_hs(
+        self,
+        walks: np.ndarray,
+        mesh,
+        n_vertices: Optional[int],
+        verbose: bool,
+    ) -> "Word2VecTPU":
+        """Row-sharded HS: emb_in AND the Huffman inner-node table (syn1)
+        mod-sharded across the mesh; the reference's default objective at
+        vertex counts beyond one device's HBM (parallel/rowsharded_hs.py)."""
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+        from node2vec_tpu.models.hsoftmax import build_huffman
+        from node2vec_tpu.parallel.rowsharded_hs import (
+            init_hs_row_state,
+            row_hs_epoch,
+            unshard_hs_rows,
+        )
+        from node2vec_tpu.parallel.rowsharded_sgns import AXES
+
+        p = self.params
+        walks = np.asarray(walks, dtype=np.int32)
+        self.vocab = build_vocab(
+            walks, n_vertices, min_count=p.min_count, ns_exponent=p.ns_exponent
+        )
+        n_v = self.vocab.n_vertices
+        if self.vocab.n_kept == 0:
+            raise ValueError(f"No vertex meets min_count={p.min_count}")
+        n_dev = int(np.prod([mesh.shape[a] for a in AXES]))
+
+        tree = build_huffman(self.vocab.counts)
+        rep = NamedSharding(mesh, Pspec())
+        hs_points = jax.device_put(jnp.asarray(tree.points), rep)
+        hs_codes = jax.device_put(jnp.asarray(tree.codes), rep)
+        hs_len = jax.device_put(jnp.asarray(tree.lengths), rep)
+        mask = jax.device_put(jnp.asarray(self.vocab.mask), rep)
+
+        n_walks = len(walks)
+        batch = max(min(p.batch_walks, n_walks) // n_dev, 1) * n_dev
+        batch_local = batch // n_dev
+        n_batches = max(n_walks // batch, 1)
+        n_used = n_batches * batch
+        corpus_host = np.full((n_used, walks.shape[1]), -1, dtype=np.int32)
+        corpus_host[: min(n_walks, n_used)] = walks[:n_used]
+        corpus = jax.device_put(
+            jnp.asarray(corpus_host),
+            NamedSharding(mesh, Pspec(AXES, None)),
+        )
+
+        state = init_hs_row_state(
+            mesh, n_v, tree.n_inner, p.vector_size, seed=p.seed
+        )
+        total_steps = max(p.max_iter * n_batches, 1)
+        lr_slope = p.step_size / total_steps
+        root_key = jax.random.PRNGKey(p.seed)
+
+        self._losses = []
+        total_dropped = 0
+        for epoch in range(p.max_iter):
+            state, losses, dropped = row_hs_epoch(
+                mesh,
+                state,
+                corpus,
+                jax.random.fold_in(root_key, epoch),
+                epoch * n_batches,
+                p.step_size,
+                lr_slope,
+                hs_points,
+                hs_codes,
+                hs_len,
+                mask,
+                batch_local=batch_local,
+                n_batches=n_batches,
+                window=p.window_size,
+                shrink_window=p.shrink_window,
+                min_lr=p.min_step_size,
+            )
+            total_dropped += int(dropped)
+            self._losses.append(float(losses.mean()))
+            if verbose:
+                logger.info(
+                    "row-sharded HS epoch %d/%d loss=%.4f", epoch + 1,
+                    p.max_iter, self._losses[-1],
+                )
+        if total_dropped:
+            logger.warning(
+                "row-sharded HS training dropped %d routed rows to capacity "
+                "overflow (raise cap_slack or batch size)", total_dropped,
+            )
+        self.emb_in, self.emb_out = unshard_hs_rows(state, n_dev)
         return self
 
     @property

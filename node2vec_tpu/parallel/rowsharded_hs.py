@@ -1,0 +1,318 @@
+"""Row-sharded hierarchical softmax: the reference's DEFAULT objective at
+vertex counts beyond one device's HBM.
+
+Both reference backends default to HS (gensim ``negative=0``,
+``/root/reference/node2vec/constants.py:65``; spark.ml Word2Vec is HS-only,
+``embedding.py:240``, ``spark.py:629``), and the reference's scaling story is
+spark.ml's data-parallel HS over ``numPartitions`` sentence partitions.  This
+module is the TPU-native equivalent of *that* combination: the input table
+AND the Huffman inner-node table (word2vec's syn1) are mod-sharded over all
+mesh devices, and every step routes the touched rows to/from their owners
+with the same dedup + fixed-capacity all-to-all machinery as row-sharded
+SGNS (parallel/rowsharded_sgns.py — reused, not duplicated).
+
+Per step, per device:
+* center rows: ``[B·L1]`` requests against the emb_in shards;
+* path rows: ``[B·L1·CODE_LEN]`` requests against the theta shards (the
+  Huffman path of each position's vertex; dedup collapses the hot tree-top
+  rows, which every pair touches, to one request each — the deeper the node,
+  the rarer, so unique counts stay near SGNS levels);
+* gradients pre-aggregate per unique row, route back, and owners apply
+  row-wise Adagrad — duplicate-safe two-pass, identical to the SGNS path.
+
+The Huffman path tables (points/codes/lengths, ``[V, CODE_LEN]``) are
+replicated like the negative-sampling alias tables: they are static int
+metadata an order of magnitude smaller than the fp32 tables being sharded.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from node2vec_tpu.models.skipgram import _log_sigmoid
+from node2vec_tpu.parallel.rowsharded_sgns import (
+    AXES,
+    _pad_to,
+    _plan_routes,
+    _routed_apply,
+    _routed_gather,
+)
+
+
+class RowHSState(NamedTuple):
+    emb_in: jax.Array  # [Vp, D] sharded P(AXES, None); logical row v at v % N
+    theta: jax.Array  # [Ip, D] inner-node vectors, same mod-sharding
+    acc_in: jax.Array  # [Vp, 1] row-wise Adagrad accumulators
+    acc_theta: jax.Array  # [Ip, 1]
+    n_vertices: int
+    n_inner: int
+
+
+def _interleave(table: jnp.ndarray, n_dev: int) -> jnp.ndarray:
+    """Mod-shard layout: position (v % N) * (Vp/N) + v // N holds row v."""
+    v_pad = table.shape[0]
+    perm = np.arange(v_pad).reshape(v_pad // n_dev, n_dev).T.reshape(-1)
+    return table[perm]
+
+
+def init_hs_row_state(
+    mesh: Mesh, n_vertices: int, n_inner: int, dim: int, seed: int = 1
+) -> RowHSState:
+    """Same init as the single-device HS trainer (word2vec-standard:
+    input ~ U(±0.5/dim), inner nodes zero), then mod-sharded."""
+    n_dev = int(np.prod([mesh.shape[a] for a in AXES]))
+    v_pad = _pad_to(n_vertices, n_dev)
+    i_pad = _pad_to(n_inner, n_dev)
+    key = jax.random.PRNGKey(seed)
+    emb_in = jax.random.uniform(
+        key, (n_vertices, dim), jnp.float32, -0.5 / dim, 0.5 / dim
+    )
+    emb_in = jnp.pad(emb_in, ((0, v_pad - n_vertices), (0, 0)))
+    sh = NamedSharding(mesh, P(AXES, None))
+    return RowHSState(
+        emb_in=jax.device_put(_interleave(emb_in, n_dev), sh),
+        theta=jax.device_put(jnp.zeros((i_pad, dim), jnp.float32), sh),
+        acc_in=jax.device_put(jnp.zeros((v_pad, 1), jnp.float32), sh),
+        acc_theta=jax.device_put(jnp.zeros((i_pad, 1), jnp.float32), sh),
+        n_vertices=n_vertices,
+        n_inner=n_inner,
+    )
+
+
+def unshard_hs_rows(
+    state: RowHSState, n_devices: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Logical ([V, D] emb_in, [n_inner, D] theta) from the mod layout."""
+
+    def undo(arr, n_keep):
+        n_pad = arr.shape[0]
+        inv = np.arange(n_pad).reshape(n_devices, n_pad // n_devices).T.reshape(-1)
+        return np.asarray(arr)[inv][:n_keep]
+
+    return undo(state.emb_in, state.n_vertices), undo(state.theta, state.n_inner)
+
+
+def _row_hs_step(
+    emb_in_l, theta_l, acc_in_l, acc_th_l,
+    walks_shard, key, lr, hs_points, hs_codes, hs_len, vocab_mask,
+    *, n_dev, cap_in, cap_th, window, shrink_window, axis_name,
+):
+    """One routed HS step on one device's walk slice (inside shard_map).
+
+    Pair math is identical to the single-device kernel
+    (models/hsoftmax.py hs_walk_step_impl): for each (center i, context i+d),
+    loss -= Σ_j mask_j · log σ((1-2·code_j) · v_in[center] · θ[point_j(ctx)]).
+    """
+    n_walks, length = walks_shard.shape
+    dim = emb_in_l.shape[1]
+    cl = hs_points.shape[1]
+    my = jax.lax.axis_index(axis_name)
+    k_shrink = jax.random.fold_in(key, my)
+
+    walks_safe = jnp.where(walks_shard >= 0, walks_shard, 0)
+    valid_pos = (walks_shard >= 0) & vocab_mask[walks_safe]
+
+    rows = walks_safe.reshape(-1)  # [B*L1] center requests
+    pts = hs_points[walks_safe]  # [B, L1, CL] replicated metadata lookup
+    cds = hs_codes[walks_safe].astype(jnp.float32)
+    plen = hs_len[walks_safe]
+    prow = pts.reshape(-1)  # [B*L1*CL] theta requests (dedup collapses them)
+
+    plan_in = _plan_routes(rows, n_dev, cap_in)
+    plan_th = _plan_routes(prow, n_dev, cap_th)
+    x_in = _routed_gather(emb_in_l, plan_in, n_dev, axis_name)[plan_in.inv]
+    th = _routed_gather(theta_l, plan_th, n_dev, axis_name)[plan_th.inv]
+    x_in = x_in.reshape(n_walks, length, dim)
+    th = th.reshape(n_walks, length, cl, dim)
+
+    valid_pos = valid_pos & plan_in.ok[plan_in.inv].reshape(n_walks, length)
+    pmask = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_walks, length, cl), 2)
+        < plen[..., None]
+    ).astype(jnp.float32) * plan_th.ok[plan_th.inv].reshape(
+        n_walks, length, cl
+    ).astype(jnp.float32)
+    sgn = 1.0 - 2.0 * cds
+
+    offsets = [d for d in range(-window, window + 1) if d != 0]
+    if shrink_window:
+        b_sh = jax.random.randint(k_shrink, (n_walks, length), 1, window + 1)
+    else:
+        b_sh = jnp.full((n_walks, length), window, dtype=jnp.int32)
+
+    def shift(x, d, fill=0):
+        pad_width = [(0, 0), (window, window)] + [(0, 0)] * (x.ndim - 2)
+        xp = jnp.pad(x, pad_width, constant_values=fill)
+        return jax.lax.dynamic_slice_in_dim(xp, d + window, length, axis=1)
+
+    g_in = jnp.zeros_like(x_in)
+    g_th = jnp.zeros_like(th)
+    loss = jnp.float32(0.0)
+    n_pairs = jnp.float32(0.0)
+    for d in offsets:
+        th_c = shift(th, d)
+        sgn_c = shift(sgn, d)
+        pm_c = shift(pmask, d)
+        pv = (valid_pos & shift(valid_pos, d) & (abs(d) <= b_sh)).astype(
+            jnp.float32
+        )
+        logit = jnp.einsum(
+            "bld,blcd->blc", x_in, th_c, preferred_element_type=jnp.float32
+        )
+        m = pv[..., None] * pm_c
+        loss = loss - jnp.sum(_log_sigmoid(sgn_c * logit) * m)
+        n_pairs = n_pairs + jnp.sum(pv)
+        g = (jax.nn.sigmoid(logit) - (1.0 + sgn_c) / 2.0) * m
+        g_in = g_in + jnp.einsum(
+            "blc,blcd->bld", g, th_c, preferred_element_type=jnp.float32
+        )
+        g_th = g_th + shift(
+            jnp.einsum("blc,bld->blcd", g, x_in,
+                       preferred_element_type=jnp.float32),
+            -d,
+        )
+
+    n_pairs = jnp.maximum(jax.lax.psum(n_pairs, axis_name), 1.0)
+    loss = jax.lax.psum(loss, axis_name) / n_pairs
+
+    # pre-aggregate per unique row (requester side), then route back
+    row_live = (walks_shard >= 0).reshape(-1).astype(jnp.float32)
+    g_in_flat = g_in.reshape(-1, dim)
+    g_th_flat = g_th.reshape(-1, dim)
+    th_live = (pmask.reshape(-1) > 0).astype(jnp.float32) * jnp.repeat(
+        row_live, cl
+    )
+    sq_in = jnp.mean(g_in_flat * g_in_flat, axis=-1) * row_live
+    sq_th = jnp.mean(g_th_flat * g_th_flat, axis=-1) * th_live
+
+    r_in = plan_in.uniq.shape[0]
+    gu_in = jnp.zeros((r_in, dim), jnp.float32).at[plan_in.inv].add(
+        g_in_flat * row_live[:, None]
+    )
+    squ_in = jnp.zeros((r_in,), jnp.float32).at[plan_in.inv].add(sq_in)
+    r_th = plan_th.uniq.shape[0]
+    gu_th = jnp.zeros((r_th, dim), jnp.float32).at[plan_th.inv].add(
+        g_th_flat * th_live[:, None]
+    )
+    squ_th = jnp.zeros((r_th,), jnp.float32).at[plan_th.inv].add(sq_th)
+
+    emb_in_l, acc_in_l = _routed_apply(
+        emb_in_l, acc_in_l, plan_in, gu_in, squ_in, lr, n_dev, axis_name
+    )
+    theta_l, acc_th_l = _routed_apply(
+        theta_l, acc_th_l, plan_th, gu_th, squ_th, lr, n_dev, axis_name
+    )
+    dropped = jax.lax.psum(plan_in.n_dropped + plan_th.n_dropped, axis_name)
+    return emb_in_l, theta_l, acc_in_l, acc_th_l, loss, dropped
+
+
+@functools.lru_cache(maxsize=8)
+def _build_hs_row_epoch(
+    mesh: Mesh, dim: int, batch_local: int, n_batches: int, window: int,
+    shrink_window: bool, min_lr: float, cap_in: int, cap_th: int,
+):
+    n_dev = int(np.prod([mesh.shape[a] for a in AXES]))
+
+    def shard_fn(emb_in_l, theta_l, acc_in_l, acc_th_l, corpus_l, key,
+                 step0, lr0, lr_slope, hs_points, hs_codes, hs_len,
+                 vocab_mask):
+        my = jax.lax.axis_index(AXES)
+        k_sh = jax.random.fold_in(jax.random.fold_in(key, my), 0x5F5E1)
+        corpus_l = corpus_l[jax.random.permutation(k_sh, corpus_l.shape[0])]
+
+        def body(state, b):
+            emb_in_l, theta_l, acc_in_l, acc_th_l, drop = state
+            gstep = step0 + b
+            lr = jnp.maximum(lr0 - lr_slope * gstep.astype(jnp.float32), min_lr)
+            wb = jax.lax.dynamic_slice_in_dim(
+                corpus_l, b * batch_local, batch_local, axis=0
+            )
+            emb_in_l, theta_l, acc_in_l, acc_th_l, loss, d = _row_hs_step(
+                emb_in_l, theta_l, acc_in_l, acc_th_l, wb,
+                jax.random.fold_in(key, gstep), lr,
+                hs_points, hs_codes, hs_len, vocab_mask,
+                n_dev=n_dev, cap_in=cap_in, cap_th=cap_th, window=window,
+                shrink_window=shrink_window, axis_name=AXES,
+            )
+            return (emb_in_l, theta_l, acc_in_l, acc_th_l, drop + d), loss
+
+        (emb_in_l, theta_l, acc_in_l, acc_th_l, drop), losses = jax.lax.scan(
+            body,
+            (emb_in_l, theta_l, acc_in_l, acc_th_l, jnp.int32(0)),
+            jnp.arange(n_batches, dtype=jnp.int32),
+        )
+        return emb_in_l, theta_l, acc_in_l, acc_th_l, losses, drop
+
+    mapped = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(AXES, None), P(AXES, None), P(AXES, None), P(AXES, None),
+            P(AXES, None), P(), P(), P(), P(), P(), P(), P(), P(),
+        ),
+        out_specs=(
+            P(AXES, None), P(AXES, None), P(AXES, None), P(AXES, None),
+            P(), P(),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0, 1, 2, 3))
+
+
+def row_hs_epoch(
+    mesh: Mesh,
+    state: RowHSState,
+    corpus: jax.Array,  # [B, L+1] sharded P(AXES, None); B % n_dev == 0
+    key: jax.Array,
+    step0,
+    lr0,
+    lr_slope,
+    hs_points: jax.Array,
+    hs_codes: jax.Array,
+    hs_len: jax.Array,
+    vocab_mask: jax.Array,
+    *,
+    batch_local: int,
+    n_batches: int,
+    window: int,
+    shrink_window: bool,
+    min_lr: float,
+    cap_slack: float = 2.0,
+):
+    """One epoch of routed row-sharded HS in a single jit dispatch.
+
+    Returns (new_state, losses [n_batches], dropped_rows scalar).
+    """
+    n_dev = int(np.prod([mesh.shape[a] for a in AXES]))
+    length = corpus.shape[1]
+    cl = hs_points.shape[1]
+    r_in = batch_local * length
+    # theta requests dedup hard (the tree top is shared by every pair), but
+    # capacity must cover the worst case of distinct deep nodes
+    r_th = batch_local * length * cl
+    cap_in = max(64, int(-(-r_in * cap_slack // n_dev // 64) * 64))
+    cap_th = max(64, int(-(-r_th * cap_slack // n_dev // 64) * 64))
+    fn = _build_hs_row_epoch(
+        mesh, state.emb_in.shape[1], batch_local, n_batches, window,
+        shrink_window, float(min_lr), cap_in, cap_th,
+    )
+    emb_in, theta, acc_in, acc_th, losses, dropped = fn(
+        state.emb_in, state.theta, state.acc_in, state.acc_theta,
+        corpus, key, jnp.int32(step0), jnp.float32(lr0),
+        jnp.float32(lr_slope), hs_points, hs_codes, hs_len, vocab_mask,
+    )
+    return (
+        RowHSState(
+            emb_in, theta, acc_in, acc_th, state.n_vertices, state.n_inner
+        ),
+        losses,
+        dropped,
+    )

@@ -82,9 +82,10 @@ def test_fit_streaming_hs_objective():
     assert intra - inter > 0.2, (intra, inter)
 
 
-def test_fit_sharded_rejects_hs():
-    """Sharded trainers must fail loudly on negative=0, not silently train a
-    degenerate positives-only objective."""
+def test_fit_sharded_hs_requires_row_mode():
+    """Column-sharded HS would replicate the inner-node table per data
+    shard — it must fail loudly and point at the row mode (which trains HS
+    for real, tests/test_rowsharded_hs.py)."""
     import jax
     import pytest
 
@@ -96,8 +97,6 @@ def test_fit_sharded_rejects_hs():
     m = Word2VecTPU(Word2VecParams(min_count=1, vector_size=32, negative=0))
     with pytest.raises(ValueError, match="hierarchical softmax"):
         m.fit_sharded(walks, mesh, n_vertices=g.n_vertices)
-    with pytest.raises(ValueError, match="hierarchical softmax"):
-        m.fit_sharded(walks, mesh, n_vertices=g.n_vertices, table_sharding="row")
 
 
 def test_run_pipeline_streaming_auto():
