@@ -29,6 +29,30 @@ def test_index_edges_sorted_dense_ids():
     assert s.dtype == np.int32
 
 
+def test_index_edges_factorize_matches_unique():
+    """The hash-factorize fast path must be bit-identical to np.unique
+    across name dtypes (object strings, NaN floats, object ints)."""
+    cases = [
+        (
+            np.array(["b", "a", "c", "a"], dtype=object),
+            np.array(["a", "c", "b", "z"], dtype=object),
+        ),
+        (np.array([1.5, np.nan, 2.5]), np.array([2.5, 1.5, np.nan])),
+        (np.array([3, 1], dtype=object), np.array([2, 3], dtype=object)),
+    ]
+    for src, dst in cases:
+        s, d, names = index_edges(src, dst)
+        ref_names, ref_inv = np.unique(
+            np.concatenate([src, dst]), return_inverse=True
+        )
+        if names.dtype.kind == "f":
+            np.testing.assert_array_equal(names, ref_names)
+        else:
+            assert names.tolist() == ref_names.tolist()
+        np.testing.assert_array_equal(s, ref_inv[: len(src)])
+        np.testing.assert_array_equal(d, ref_inv[len(src):])
+
+
 def test_index_graph_pandas():
     df = pd.DataFrame({"src": ["x", "y"], "dst": ["y", "z"]})
     edges, name_id = index_graph_pandas(df)
