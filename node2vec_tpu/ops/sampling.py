@@ -55,3 +55,24 @@ def contains_in_segments(
     in_range = pos < start + length
     pos_safe = jnp.clip(pos, 0, sorted_data.shape[0] - 1)
     return in_range & (sorted_data[pos_safe] == values)
+
+
+def prefix_sums(x: jax.Array, matmul_max_width: int = 128) -> jax.Array:
+    """Row-wise inclusive prefix sums for inverse-CDF sampling.
+
+    ``jnp.cumsum`` lowers to a reduce-window on TPU, which profiled as ~27%
+    of the dense walk step; for narrow rows an upper-triangular-ones matmul
+    on the MXU is 1.3x faster end-to-end and bit-identical at
+    Precision.HIGHEST (experiments/dense_variants.py).  Wide rows keep
+    cumsum — the [P, P] matmul grows quadratically.
+    """
+    p = x.shape[-1]
+    if p > matmul_max_width:
+        return jnp.cumsum(x, axis=-1)
+    tri = jnp.triu(jnp.ones((p, p), x.dtype))
+    return jnp.dot(
+        x,
+        tri,
+        preferred_element_type=x.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )

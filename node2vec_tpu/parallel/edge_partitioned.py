@@ -43,6 +43,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+from node2vec_tpu.ops.sampling import prefix_sums
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -158,7 +160,7 @@ def _build_edge_partitioned_walk(
             bias = jnp.where(first_order[:, None], 1.0, bias)
             bw = wts * bias
             total = jnp.sum(bw, axis=1)
-            cdf = jnp.cumsum(bw, axis=1)
+            cdf = prefix_sums(bw)
             pick = jnp.minimum(
                 jnp.sum((cdf < (r_u * total)[:, None]).astype(jnp.int32), axis=1),
                 p_cols - 1,

@@ -41,6 +41,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from node2vec_tpu.ops.hashrng import hash_uniform
+from node2vec_tpu.ops.sampling import prefix_sums
 from node2vec_tpu.walk.blocked import (
     MAG,
     PAD_ID,
@@ -415,7 +416,7 @@ def _build_ep_blocked_walk(
                 u2 = r_up * rest
                 target = jnp.where(u2 < r_bpfx, u2, u2 + r_wb)
 
-            cdf_l = jnp.cumsum(w_light, axis=1)
+            cdf_l = prefix_sums(w_light)
             slot_l = jnp.sum((cdf_l < target[:, None]).astype(jnp.int32), axis=1)
             slot_l = jnp.minimum(slot_l, jnp.maximum(degree - 1, 0))
             cand_l = select(ids, lane_p, slot_l)
@@ -438,7 +439,7 @@ def _build_ep_blocked_walk(
             brow = biw[jnp.clip(local_b, 0, biw.shape[0] - 1)]
             bw = bc_f32(brow[:, c:])
             nvalid = jnp.sum(brow[:, :c] != PAD_ID, axis=1)
-            cdf_b = jnp.cumsum(bw, axis=1)
+            cdf_b = prefix_sums(bw)
             slot_b = jnp.sum((cdf_b < resid[:, None]).astype(jnp.int32), axis=1)
             slot_b = jnp.minimum(slot_b, jnp.maximum(nvalid - 1, 0))
             cand_h = select(brow[:, :c], lane_c, slot_b)

@@ -55,6 +55,7 @@ import jax
 import jax.numpy as jnp
 
 from node2vec_tpu.ops.hashrng import hash_uniform
+from node2vec_tpu.ops.sampling import prefix_sums
 
 PAD_ID = np.int32(np.iinfo(np.int32).max)  # sorts above any real id
 SIGN = np.int32(np.uint32(0x80000000))  # has_shared flag bit in rev_enc
@@ -400,7 +401,7 @@ def blocked_walk_chunk_impl(
             target = jnp.where(u2 < back_pfx, u2, u2 + w_back)
 
         # --- proposal: two-level exact inverse-CDF -------------------------
-        cdf_l = jnp.cumsum(w_light, axis=1)
+        cdf_l = prefix_sums(w_light)
         slot_l = jnp.sum((cdf_l < target[:, None]).astype(jnp.int32), axis=1)
         slot_l = jnp.minimum(slot_l, jnp.maximum(degree - 1, 0))
         cand_l = select(ids, light_iota, slot_l)
@@ -426,7 +427,7 @@ def blocked_walk_chunk_impl(
             brow = biw[jnp.where(alive & is_heavy, h_bs + blk, 0)]
             bw = bc_f32(brow[:, c:])
             nvalid = jnp.sum(brow[:, :c] != PAD_ID, axis=1)
-            cdf_b = jnp.cumsum(bw, axis=1)
+            cdf_b = prefix_sums(bw)
             slot_b = jnp.sum((cdf_b < resid[:, None]).astype(jnp.int32), axis=1)
             slot_b = jnp.minimum(slot_b, jnp.maximum(nvalid - 1, 0))
             cand_h = select(brow[:, :c], block_iota, slot_b)

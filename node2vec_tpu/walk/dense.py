@@ -18,8 +18,11 @@ independent of row width up to ~512B), so the design minimizes row fetches:
   3. the node2vec bias for ALL neighbors at once: back-edge mask + shared-
      neighbor mask via an all-pairs lane compare ``[W, P, P]`` (XLA fuses the
      reduction; pure VPU work);
-  4. **exact** inverse-CDF sampling over the biased weights: cumsum along P,
-     one uniform, count-compare, one-hot select.
+  4. **exact** inverse-CDF sampling over the biased weights: prefix sums as a
+     [W, P] @ [P, P] upper-triangular-ones matmul on the MXU (measured 1.3x
+     over lax.cumsum's reduce-window lowering at P=64, bit-identical walks at
+     Precision.HIGHEST — experiments/dense_variants.py), one uniform,
+     count-compare, one-hot select.
 
 No rejection loop, no approximation, one row gather per walker-step.  Cost is
 O(P²) VPU ops per walker-step, so this engine is selected when max degree <=
@@ -39,6 +42,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+from node2vec_tpu.ops.sampling import prefix_sums
 
 PAD_ID = np.int32(np.iinfo(np.int32).max)  # keeps rows sorted; never equals a real id
 
@@ -144,7 +149,7 @@ def dense_walk_chunk_impl(
 
             key, k_u = jax.random.split(key)
             u = jax.random.uniform(k_u, (n_walkers,)) * total
-            cdf = jnp.cumsum(bw, axis=1)
+            cdf = prefix_sums(bw)
             idx = jnp.minimum(
                 jnp.sum((cdf < u[:, None]).astype(jnp.int32), axis=1), p_cols - 1
             )
