@@ -301,6 +301,189 @@ sgns_walk_step = functools.partial(
 )(sgns_walk_step_impl)
 
 
+def init_fused_embeddings(
+    n_vertices: int, dim: int, seed: int = 1
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused-table init: [V, D+1] with the row-wise Adagrad accumulator in
+    column D (same U(±0.5/dim) / zeros values as init_embeddings)."""
+    emb_in, emb_out, acc_in, acc_out = init_embeddings(n_vertices, dim, seed)
+    return (
+        jnp.concatenate([emb_in, acc_in[:, None]], axis=1),
+        jnp.concatenate([emb_out, acc_out[:, None]], axis=1),
+    )
+
+
+def split_fused(table: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[V, D+1] fused table -> ([V, D] embeddings, [V] accumulator)."""
+    return table[:, :-1], table[:, -1]
+
+
+def sgns_walk_step_fused_impl(
+    tab_in: jnp.ndarray,  # [V, D+1]: embedding | Adagrad accumulator column
+    tab_out: jnp.ndarray,
+    walks: jnp.ndarray,
+    key: jax.Array,
+    lr: jnp.ndarray,
+    ns_alias: jnp.ndarray,
+    ns_prob: jnp.ndarray,
+    vocab_mask: jnp.ndarray,
+    *,
+    window: int,
+    negatives: int,
+    shared_negatives: int,
+    shrink_window: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused-table SGNS step: 4 indexed table ops per walk position.
+
+    STATUS: measured SLOWER than the two-pass positional step on v5e — NOT
+    on the production path (fit() uses sgns_epoch).  The idea: the
+    positional step is gather/scatter issue-bound at ~8 indexed ops per
+    position (2 embedding gathers, 2 scatters, 4 more on the separate [V]
+    Adagrad accumulators); fusing the accumulator into column D halves the
+    op count, at the cost of one-pass per-batch-delayed Adagrad (duplicate
+    rows inside a batch don't see each other's squared-gradient mass, so a
+    cold accumulator diverges on duplicate-dense batches — small graphs).
+    Measured (experiments/sgns_fused_bench.py, interleaved A/B): the
+    [V, D+1] row breaks the f32 (8, 128) tile — at dim 128 the row pads to
+    256 lanes, doubling table bytes and gather/scatter traffic — and the
+    fused step lands at 0.67-0.86x the two-pass step at dim 128/256.
+    Kept as the measured negative result; revisit only if a future XLA
+    exposes unpadded 129-wide layouts or acc can share padding lanes.
+    """
+    n_vertices = tab_in.shape[0]
+    n_walks, length = walks.shape
+    dim = tab_in.shape[1] - 1
+    k_neg1, k_neg2, k_shrink = jax.random.split(key, 3)
+
+    walks_safe = jnp.where(walks >= 0, walks, 0)
+    valid_pos = (walks >= 0) & vocab_mask[walks_safe]
+    xi = tab_in[walks_safe]  # [B, L1, D+1] — vector + accumulator, one gather
+    xo = tab_out[walks_safe]
+    x_in, acc_in0 = xi[..., :dim], xi[..., dim]
+    x_out, acc_out0 = xo[..., :dim], xo[..., dim]
+
+    offsets = [d for d in range(-window, window + 1) if d != 0]
+    if shrink_window:
+        b_sh = jax.random.randint(k_shrink, (n_walks, length), 1, window + 1)
+    else:
+        b_sh = jnp.full((n_walks, length), window, dtype=jnp.int32)
+
+    def shift(x, d, fill=0):
+        pad_width = [(0, 0), (window, window)] + [(0, 0)] * (x.ndim - 2)
+        xp = jnp.pad(x, pad_width, constant_values=fill)
+        return jax.lax.dynamic_slice_in_dim(xp, d + window, length, axis=1)
+
+    g_in = jnp.zeros_like(x_in)
+    g_out = jnp.zeros_like(x_out)
+    pos_loss = jnp.float32(0.0)
+    mult = jnp.zeros((n_walks, length), jnp.float32)
+    for d in offsets:
+        xod = shift(x_out, d)
+        pv = (valid_pos & shift(valid_pos, d) & (abs(d) <= b_sh)).astype(
+            jnp.float32
+        )
+        logit = jnp.sum(x_in * xod, axis=-1)
+        g = (jax.nn.sigmoid(logit) - 1.0) * pv
+        g_in = g_in + g[..., None] * xod
+        g_out = g_out + shift(g[..., None] * x_in, -d)
+        pos_loss = pos_loss + jnp.sum(_log_sigmoid(logit) * pv)
+        mult = mult + pv
+
+    s = shared_negatives
+    r1 = jax.random.uniform(k_neg1, (s,))
+    r2 = jax.random.uniform(k_neg2, (s,))
+    slot = jnp.minimum((r1 * n_vertices).astype(jnp.int32), n_vertices - 1)
+    neg_ids = jnp.where(r2 < ns_prob[slot], slot, ns_alias[slot])
+    nf = tab_out[neg_ids]  # [S, D+1]
+    no, acc_no0 = nf[:, :dim], nf[:, dim]
+
+    x_in_flat = x_in.reshape(-1, dim)
+    m_flat = mult.reshape(-1)
+    neg_scale = negatives / s
+    nl = jnp.dot(x_in_flat, no.T, preferred_element_type=jnp.float32)
+    g_neg = jax.nn.sigmoid(nl) * m_flat[:, None] * neg_scale
+    neg_loss = neg_scale * jnp.sum(_log_sigmoid(-nl) * m_flat[:, None])
+    g_in_flat = g_in.reshape(-1, dim) + jnp.dot(
+        g_neg, no, preferred_element_type=jnp.float32
+    )
+    d_no = jnp.dot(g_neg.T, x_in_flat, preferred_element_type=jnp.float32)
+
+    n_valid = jnp.maximum(jnp.sum(mult), 1.0)
+    loss = -(pos_loss + neg_loss) / n_valid
+
+    eps = 1e-12
+    rows = walks_safe.reshape(-1)
+    row_valid = (walks >= 0).reshape(-1).astype(jnp.float32)
+    g_out_flat = g_out.reshape(-1, dim)
+    sq_in = jnp.mean(g_in_flat * g_in_flat, axis=-1) * row_valid
+    sq_out = jnp.mean(g_out_flat * g_out_flat, axis=-1) * row_valid
+    sq_no = jnp.mean(d_no * d_no, axis=-1)
+    scale_in = jax.lax.rsqrt(acc_in0.reshape(-1) + sq_in + eps) * row_valid
+    scale_out = jax.lax.rsqrt(acc_out0.reshape(-1) + sq_out + eps) * row_valid
+    scale_no = jax.lax.rsqrt(acc_no0 + sq_no + eps)
+
+    # ONE scatter per table: (Δvector | Δaccumulator) fused rows
+    upd_in = jnp.concatenate(
+        [-lr * g_in_flat * scale_in[:, None], sq_in[:, None]], axis=1
+    )
+    upd_out = jnp.concatenate(
+        [-lr * g_out_flat * scale_out[:, None], sq_out[:, None]], axis=1
+    )
+    upd_no = jnp.concatenate(
+        [-lr * d_no * scale_no[:, None], sq_no[:, None]], axis=1
+    )
+    tab_in = tab_in.at[rows].add(upd_in)
+    tab_out = tab_out.at[rows].add(upd_out)
+    tab_out = tab_out.at[neg_ids].add(upd_no)
+    return tab_in, tab_out, loss
+
+
+sgns_walk_step_fused = functools.partial(
+    jax.jit,
+    static_argnames=("window", "negatives", "shared_negatives", "shrink_window"),
+    donate_argnames=("tab_in", "tab_out"),
+)(sgns_walk_step_fused_impl)
+
+
+def _sgns_epoch_fused_impl(
+    tab_in, tab_out, corpus, key, step0, lr0, lr_slope,
+    ns_alias, ns_prob, vocab_mask, *,
+    batch: int, n_batches: int, window: int, negatives: int,
+    shared_negatives: int, shrink_window: bool, min_lr: float,
+):
+    """A whole fused-table epoch inside one jit (lax.scan)."""
+
+    def body(state, b):
+        tab_in, tab_out = state
+        gstep = step0 + b
+        lr = jnp.maximum(lr0 - lr_slope * gstep.astype(jnp.float32), min_lr)
+        wb = jax.lax.dynamic_slice_in_dim(corpus, b * batch, batch, axis=0)
+        tab_in, tab_out, loss = sgns_walk_step_fused_impl(
+            tab_in, tab_out, wb, jax.random.fold_in(key, gstep), lr,
+            ns_alias, ns_prob, vocab_mask,
+            window=window, negatives=negatives,
+            shared_negatives=shared_negatives, shrink_window=shrink_window,
+        )
+        return (tab_in, tab_out), loss
+
+    state, losses = jax.lax.scan(
+        body,
+        (tab_in, tab_out),
+        jnp.arange(n_batches, dtype=jnp.int32),
+    )
+    return (*state, losses)
+
+
+sgns_epoch_fused = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "batch", "n_batches", "window", "negatives", "shared_negatives",
+        "shrink_window", "min_lr",
+    ),
+    donate_argnames=("tab_in", "tab_out"),
+)(_sgns_epoch_fused_impl)
+
+
 def _sgns_corpus_step_impl(
     emb_in, emb_out, acc_in, acc_out, corpus, offset, key, lr,
     ns_alias, ns_prob, vocab_mask, *,
