@@ -144,6 +144,95 @@ def _edge_metadata(
     return rev_enc, pfx.astype(np.float32)
 
 
+def _edge_metadata_ranged(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    weights: np.ndarray,
+    n_ranges: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-edge (rev_enc, pfx) via a RANGE-EXCHANGE pass — the multi-host
+    metadata algorithm (ROADMAP item 5: distributed ``_edge_metadata``).
+
+    The global pass needs the whole CSR resident to find each edge's reverse.
+    This variant only ever holds one vertex-range's rows at a time plus the
+    record traffic between two ranges — exactly the shape of a multi-host
+    all-to-all over DCN:
+
+    * producer pass: the owner of vertex ``v`` derives, for each of ITS edges
+      ``(v -> u)``, the reverse metadata OF the mirrored edge ``(u -> v)``
+      — ``rev_w = w(v->u)`` and ``pfx`` = weight-CDF prefix of ``u`` within
+      ``N(v)`` — from purely local rows, and emits a record keyed by
+      ``owner(u)``;
+    * consumer pass: the owner of ``u`` binary-searches each incoming
+      ``(u, v)`` record into its sorted rows and writes the fields.
+
+    Triangle bits are CONSERVATIVE all-ones (testing ``N(u) ∩ N(v)`` needs
+    both rows on one host): walks stay exactly distributed — the bit only
+    gates the rejection-bound reduction, so cross-range arrivals pay the full
+    ``max(1, 1/q)`` bound instead of ``1/q``.  The single-host packer keeps
+    the exact native pass.
+    """
+    n_v = len(indptr) - 1
+    n_e = len(indices)
+    rev_w = np.zeros(n_e, np.float32)
+    pfx = np.zeros(n_e, np.float32)
+    if n_e == 0 or n_v == 0:
+        return rev_w.view(np.int32) | SIGN, pfx
+    v_p = -(-n_v // n_ranges)
+
+    # producer pass: per range, records (u, v, rev_w, pfx) bucketed by owner(u)
+    rec_u = [[] for _ in range(n_ranges)]
+    rec_v = [[] for _ in range(n_ranges)]
+    rec_w = [[] for _ in range(n_ranges)]
+    rec_p = [[] for _ in range(n_ranges)]
+    for r in range(n_ranges):
+        lo, hi = r * v_p, min((r + 1) * v_p, n_v)
+        e_lo, e_hi = int(indptr[lo]), int(indptr[hi])
+        if e_hi == e_lo:
+            continue
+        deg = np.diff(indptr[lo : hi + 1])
+        v_ids = np.repeat(np.arange(lo, hi, dtype=np.int64), deg)
+        u_ids = indices[e_lo:e_hi].astype(np.int64)
+        w_loc = weights[e_lo:e_hi]
+        cw = np.concatenate([[0.0], np.cumsum(w_loc, dtype=np.float64)])
+        row_base = cw[np.repeat(indptr[lo:hi] - e_lo, deg)]
+        pfx_loc = (cw[:-1] - row_base).astype(np.float32)
+        owner = np.minimum(u_ids // v_p, n_ranges - 1)
+        order = np.argsort(owner, kind="stable")
+        bounds = np.searchsorted(owner[order], np.arange(n_ranges + 1))
+        for t in range(n_ranges):
+            s = slice(bounds[t], bounds[t + 1])
+            if bounds[t + 1] > bounds[t]:
+                idx = order[s]
+                rec_u[t].append(u_ids[idx])
+                rec_v[t].append(v_ids[idx])
+                rec_w[t].append(w_loc[idx])
+                rec_p[t].append(pfx_loc[idx])
+
+    # consumer pass: owner of u matches records to its sorted (u, v) edges
+    for r in range(n_ranges):
+        if not rec_u[r]:
+            continue
+        ru = np.concatenate(rec_u[r])
+        rv = np.concatenate(rec_v[r])
+        rw = np.concatenate(rec_w[r])
+        rp = np.concatenate(rec_p[r])
+        lo, hi = r * v_p, min((r + 1) * v_p, n_v)
+        e_lo, e_hi = int(indptr[lo]), int(indptr[hi])
+        deg = np.diff(indptr[lo : hi + 1])
+        src_rep = np.repeat(np.arange(lo, hi, dtype=np.int64), deg)
+        keys = src_rep * n_v + indices[e_lo:e_hi]  # sorted (CSR row order)
+        rkeys = ru * n_v + rv
+        pos = np.searchsorted(keys, rkeys)
+        pos_c = np.minimum(pos, max(e_hi - e_lo - 1, 0))
+        found = (pos < e_hi - e_lo) & (keys[pos_c] == rkeys)
+        rev_w[e_lo + pos_c[found]] = rw[found]
+        pfx[e_lo + pos_c[found]] = rp[found]
+
+    rev_enc = (rev_w.view(np.int32) | SIGN).astype(np.int32)  # conservative
+    return rev_enc, pfx
+
+
 def _pack_range(
     indptr: np.ndarray,
     indices: np.ndarray,

