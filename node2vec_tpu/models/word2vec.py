@@ -375,6 +375,8 @@ class Word2VecTPU:
         n_vertices: Optional[int] = None,
         verbose: bool = False,
         table_sharding: str = "column",
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 1,
     ) -> "Word2VecTPU":
         """Multi-device training over a (data × model) mesh.
 
@@ -410,9 +412,15 @@ class Word2VecTPU:
                     "table_sharding='row' in the sharded trainer (the "
                     "inner-node table is row-sharded like the embeddings)"
                 )
-            return self._fit_row_sharded_hs(walks, mesh, n_vertices, verbose)
+            return self._fit_row_sharded_hs(
+                walks, mesh, n_vertices, verbose, checkpoint_dir,
+                checkpoint_every,
+            )
         if table_sharding == "row":
-            return self._fit_row_sharded(walks, mesh, n_vertices, verbose)
+            return self._fit_row_sharded(
+                walks, mesh, n_vertices, verbose, checkpoint_dir,
+                checkpoint_every,
+            )
 
         p = self.params
         walks = np.asarray(walks, dtype=np.int32)
@@ -429,7 +437,26 @@ class Word2VecTPU:
                 f"vector_size {p.vector_size} not divisible by model axis {n_model}"
             )
 
+        from node2vec_tpu.parallel.sharded_sgns import ShardedSGNSState
+        from node2vec_tpu.utils.checkpoint import (
+            load_train_state,
+            save_train_state,
+        )
+
         state = init_sharded_state(mesh, n_v, p.vector_size, seed=p.seed)
+        start_epoch = 0
+        ckpt = load_train_state(checkpoint_dir)
+        if ckpt is not None:
+            start_epoch, e_in, e_out, a_in, a_out = ckpt
+            col = NamedSharding(mesh, Pspec(None, "model"))
+            rep0 = NamedSharding(mesh, Pspec())
+            state = ShardedSGNSState(
+                emb_in=jax.device_put(jnp.asarray(e_in), col),
+                emb_out=jax.device_put(jnp.asarray(e_out), col),
+                acc_in=jax.device_put(jnp.asarray(a_in), rep0),
+                acc_out=jax.device_put(jnp.asarray(a_out), rep0),
+            )
+            logger.info("resuming sharded training from epoch %d", start_epoch)
         rep = NamedSharding(mesh, Pspec())
         ns_alias = jax.device_put(jnp.asarray(self.vocab.ns_alias), rep)
         ns_prob = jax.device_put(jnp.asarray(self.vocab.ns_prob), rep)
@@ -458,7 +485,7 @@ class Word2VecTPU:
         )
 
         self._losses = []
-        for epoch in range(p.max_iter):
+        for epoch in range(start_epoch, p.max_iter):
             state, losses = col_sgns_epoch(
                 mesh,
                 state,
@@ -484,6 +511,15 @@ class Word2VecTPU:
                     "sharded epoch %d/%d loss=%.4f", epoch + 1, p.max_iter,
                     self._losses[-1],
                 )
+            if checkpoint_dir and (epoch + 1) % checkpoint_every == 0:
+                save_train_state(
+                    checkpoint_dir,
+                    epoch + 1,
+                    np.asarray(state.emb_in),
+                    np.asarray(state.emb_out),
+                    np.asarray(state.acc_in),
+                    np.asarray(state.acc_out),
+                )
 
         self.emb_in = state.emb_in
         self.emb_out = state.emb_out
@@ -495,6 +531,8 @@ class Word2VecTPU:
         mesh,
         n_vertices: Optional[int],
         verbose: bool,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 1,
     ) -> "Word2VecTPU":
         """Row-sharded trainer: one jit dispatch per epoch, O(batch·D) comm."""
         from jax.sharding import NamedSharding, PartitionSpec as Pspec
@@ -503,7 +541,13 @@ class Word2VecTPU:
             AXES,
             init_row_state,
             row_sgns_epoch,
+            row_state_from_host,
+            row_state_to_host,
             unshard_rows,
+        )
+        from node2vec_tpu.utils.checkpoint import (
+            load_train_state,
+            save_train_state,
         )
 
         p = self.params
@@ -536,13 +580,19 @@ class Word2VecTPU:
         mask = jax.device_put(jnp.asarray(self.vocab.mask), rep)
 
         state = init_row_state(mesh, n_v, p.vector_size, seed=p.seed)
+        start_epoch = 0
+        ckpt = load_train_state(checkpoint_dir)
+        if ckpt is not None:
+            start_epoch, e_in, e_out, a_in, a_out = ckpt
+            state = row_state_from_host(mesh, e_in, e_out, a_in, a_out)
+            logger.info("resuming row-sharded training from epoch %d", start_epoch)
         total_steps = max(p.max_iter * n_batches, 1)
         lr_slope = p.step_size / total_steps
         root_key = jax.random.PRNGKey(p.seed)
 
         self._losses = []
         total_dropped = 0
-        for epoch in range(p.max_iter):
+        for epoch in range(start_epoch, p.max_iter):
             state, losses, dropped = row_sgns_epoch(
                 mesh,
                 state,
@@ -569,6 +619,10 @@ class Word2VecTPU:
                     "row-sharded epoch %d/%d loss=%.4f", epoch + 1,
                     p.max_iter, self._losses[-1],
                 )
+            if checkpoint_dir and (epoch + 1) % checkpoint_every == 0:
+                save_train_state(
+                    checkpoint_dir, epoch + 1, *row_state_to_host(state, n_dev)
+                )
         if total_dropped:
             logger.warning(
                 "row-sharded training dropped %d routed rows to capacity "
@@ -583,6 +637,8 @@ class Word2VecTPU:
         mesh,
         n_vertices: Optional[int],
         verbose: bool,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 1,
     ) -> "Word2VecTPU":
         """Row-sharded HS: emb_in AND the Huffman inner-node table (syn1)
         mod-sharded across the mesh; the reference's default objective at
@@ -591,11 +647,17 @@ class Word2VecTPU:
 
         from node2vec_tpu.models.hsoftmax import build_huffman
         from node2vec_tpu.parallel.rowsharded_hs import (
+            hs_state_from_host,
+            hs_state_to_host,
             init_hs_row_state,
             row_hs_epoch,
             unshard_hs_rows,
         )
         from node2vec_tpu.parallel.rowsharded_sgns import AXES
+        from node2vec_tpu.utils.checkpoint import (
+            load_train_state,
+            save_train_state,
+        )
 
         p = self.params
         walks = np.asarray(walks, dtype=np.int32)
@@ -629,13 +691,21 @@ class Word2VecTPU:
         state = init_hs_row_state(
             mesh, n_v, tree.n_inner, p.vector_size, seed=p.seed
         )
+        start_epoch = 0
+        ckpt = load_train_state(checkpoint_dir)
+        if ckpt is not None:
+            start_epoch, e_in, theta, a_in, a_th = ckpt
+            state = hs_state_from_host(mesh, e_in, theta, a_in, a_th)
+            logger.info(
+                "resuming row-sharded HS training from epoch %d", start_epoch
+            )
         total_steps = max(p.max_iter * n_batches, 1)
         lr_slope = p.step_size / total_steps
         root_key = jax.random.PRNGKey(p.seed)
 
         self._losses = []
         total_dropped = 0
-        for epoch in range(p.max_iter):
+        for epoch in range(start_epoch, p.max_iter):
             state, losses, dropped = row_hs_epoch(
                 mesh,
                 state,
@@ -660,6 +730,10 @@ class Word2VecTPU:
                 logger.info(
                     "row-sharded HS epoch %d/%d loss=%.4f", epoch + 1,
                     p.max_iter, self._losses[-1],
+                )
+            if checkpoint_dir and (epoch + 1) % checkpoint_every == 0:
+                save_train_state(
+                    checkpoint_dir, epoch + 1, *hs_state_to_host(state, n_dev)
                 )
         if total_dropped:
             logger.warning(

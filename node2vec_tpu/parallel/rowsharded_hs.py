@@ -100,6 +100,55 @@ def unshard_hs_rows(
     return undo(state.emb_in, state.n_vertices), undo(state.theta, state.n_inner)
 
 
+def hs_state_to_host(
+    state: RowHSState, n_devices: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Full logical host copy (tables + accumulators) for checkpointing."""
+
+    def undo(arr, n_keep):
+        n_pad = arr.shape[0]
+        inv = np.arange(n_pad).reshape(n_devices, n_pad // n_devices).T.reshape(-1)
+        return np.asarray(arr)[inv][:n_keep]
+
+    return (
+        undo(state.emb_in, state.n_vertices),
+        undo(state.theta, state.n_inner),
+        undo(state.acc_in, state.n_vertices)[:, 0],
+        undo(state.acc_theta, state.n_inner)[:, 0],
+    )
+
+
+def hs_state_from_host(
+    mesh: Mesh,
+    emb_in: np.ndarray,
+    theta: np.ndarray,
+    acc_in: np.ndarray,
+    acc_theta: np.ndarray,
+) -> RowHSState:
+    """Rebuild the mod-sharded device state from a checkpointed host copy."""
+    n_dev = int(np.prod([mesh.shape[a] for a in AXES]))
+    n_v, n_inner = emb_in.shape[0], theta.shape[0]
+    sh = NamedSharding(mesh, P(AXES, None))
+
+    def put(arr, n):
+        a = np.asarray(arr, dtype=np.float32)
+        if a.ndim == 1:
+            a = a[:, None]
+        n_pad = _pad_to(n, n_dev)
+        a = np.pad(a, ((0, n_pad - n), (0, 0)))
+        perm = np.arange(n_pad).reshape(n_pad // n_dev, n_dev).T.reshape(-1)
+        return jax.device_put(jnp.asarray(a[perm]), sh)
+
+    return RowHSState(
+        emb_in=put(emb_in, n_v),
+        theta=put(theta, n_inner),
+        acc_in=put(acc_in, n_v),
+        acc_theta=put(acc_theta, n_inner),
+        n_vertices=n_v,
+        n_inner=n_inner,
+    )
+
+
 def _row_hs_step(
     emb_in_l, theta_l, acc_in_l, acc_th_l,
     walks_shard, key, lr, hs_points, hs_codes, hs_len, vocab_mask,

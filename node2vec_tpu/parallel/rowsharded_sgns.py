@@ -97,6 +97,52 @@ def unshard_rows(state: RowShardedState, n_devices: int) -> Tuple[np.ndarray, np
     return emb_in, emb_out
 
 
+def row_state_to_host(
+    state: RowShardedState, n_devices: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Full logical host copy (tables + Adagrad accumulators) for
+    checkpointing."""
+    v_pad = state.emb_in.shape[0]
+    inv = np.arange(v_pad).reshape(n_devices, v_pad // n_devices).T.reshape(-1)
+    n = state.n_vertices
+    return (
+        np.asarray(state.emb_in)[inv][:n],
+        np.asarray(state.emb_out)[inv][:n],
+        np.asarray(state.acc_in)[inv][:n, 0],
+        np.asarray(state.acc_out)[inv][:n, 0],
+    )
+
+
+def row_state_from_host(
+    mesh: Mesh,
+    emb_in: np.ndarray,
+    emb_out: np.ndarray,
+    acc_in: np.ndarray,
+    acc_out: np.ndarray,
+) -> RowShardedState:
+    """Rebuild the mod-sharded device state from a checkpointed host copy."""
+    n_dev = int(np.prod([mesh.shape[a] for a in AXES]))
+    n_v = emb_in.shape[0]
+    v_pad = _pad_to(n_v, n_dev)
+    perm = np.arange(v_pad).reshape(v_pad // n_dev, n_dev).T.reshape(-1)
+    sh = NamedSharding(mesh, P(AXES, None))
+
+    def put(arr, width=None):
+        a = np.asarray(arr, dtype=np.float32)
+        if a.ndim == 1:
+            a = a[:, None]
+        a = np.pad(a, ((0, v_pad - n_v), (0, 0)))
+        return jax.device_put(jnp.asarray(a[perm]), sh)
+
+    return RowShardedState(
+        emb_in=put(emb_in),
+        emb_out=put(emb_out),
+        acc_in=put(acc_in),
+        acc_out=put(acc_out),
+        n_vertices=n_v,
+    )
+
+
 class RoutePlan(NamedTuple):
     """Per-step routing metadata for one table's unique row set."""
 
