@@ -89,14 +89,8 @@ def dense_walk_chunk_impl(
     walk_length: int,
     return_param: float,
     inout_param: float,
-    use_pallas: bool = False,
 ) -> jax.Array:
-    """Exact biased walks; returns [W, walk_length+1] int32 (-1 padded).
-
-    With ``use_pallas`` (TPU backends), the post-gather sampling math runs in
-    the fused Pallas kernel (ops.pallas_kernels.biased_sample); otherwise the
-    same math is expressed in XLA ops.
-    """
+    """Exact biased walks; returns [W, walk_length+1] int32 (-1 padded)."""
     n_walkers = starts.shape[0]
     p_cols = packed_adj.shape[1] // 2
     inv_p = jnp.float32(1.0 / return_param)
@@ -107,10 +101,6 @@ def dense_walk_chunk_impl(
     paths0 = jnp.full((n_walkers, walk_length + 1), -1, dtype=jnp.int32)
     paths0 = paths0.at[:, 0].set(jnp.where(alive0, starts, -1))
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (n_walkers, p_cols), 1)
-    # scalar seed base for the in-kernel PRNG (pallas path)
-    seed_base = jax.random.randint(
-        jax.random.fold_in(key, 0x5EED), (), 0, np.int32(2**31 - 1), dtype=jnp.int32
-    )
 
     def one_step(t, carry):
         paths, cur, prev, prev_rows, alive, key = carry
@@ -118,44 +108,29 @@ def dense_walk_chunk_impl(
         packed = packed_adj[cur_safe]  # [W, 2P] — the ONE row gather per step
         rows = packed[:, :p_cols]
 
-        if use_pallas:
-            from node2vec_tpu.ops.pallas_kernels import biased_sample
-
-            nxt, total = biased_sample(
-                seed_base + t * jnp.int32(1_000_003),
-                packed,
-                prev_rows,
-                prev,
-                p_cols=p_cols,
-                inv_p=float(1.0 / return_param),
-                inv_q=float(1.0 / inout_param),
-                uniform_bias=uniform_bias,
-            )
-            alive = alive & (total > 0)
+        wts = jax.lax.bitcast_convert_type(packed[:, p_cols:], jnp.float32)
+        if uniform_bias:
+            bw = wts
         else:
-            wts = jax.lax.bitcast_convert_type(packed[:, p_cols:], jnp.float32)
-            if uniform_bias:
-                bw = wts
-            else:
-                first_order = prev < 0
-                back = rows == prev[:, None]
-                shared = shared_neighbor_mask(rows, prev_rows)
-                bias = jnp.where(back, inv_p, jnp.where(shared, 1.0, inv_q))
-                bias = jnp.where(first_order[:, None], 1.0, bias)
-                bw = wts * bias  # pads carry zero weight
+            first_order = prev < 0
+            back = rows == prev[:, None]
+            shared = shared_neighbor_mask(rows, prev_rows)
+            bias = jnp.where(back, inv_p, jnp.where(shared, 1.0, inv_q))
+            bias = jnp.where(first_order[:, None], 1.0, bias)
+            bw = wts * bias  # pads carry zero weight
 
-            total = jnp.sum(bw, axis=1)
-            alive = alive & (total > 0)
+        total = jnp.sum(bw, axis=1)
+        alive = alive & (total > 0)
 
-            key, k_u = jax.random.split(key)
-            u = jax.random.uniform(k_u, (n_walkers,)) * total
-            cdf = prefix_sums(bw)
-            idx = jnp.minimum(
-                jnp.sum((cdf < u[:, None]).astype(jnp.int32), axis=1), p_cols - 1
-            )
-            nxt = jnp.sum(
-                jnp.where(col_iota == idx[:, None], rows, 0), axis=1
-            )  # one-hot select (take_along_axis lowers poorly on TPU)
+        key, k_u = jax.random.split(key)
+        u = jax.random.uniform(k_u, (n_walkers,)) * total
+        cdf = prefix_sums(bw)
+        idx = jnp.minimum(
+            jnp.sum((cdf < u[:, None]).astype(jnp.int32), axis=1), p_cols - 1
+        )
+        nxt = jnp.sum(
+            jnp.where(col_iota == idx[:, None], rows, 0), axis=1
+        )  # one-hot select (take_along_axis lowers poorly on TPU)
 
         paths = jax.lax.dynamic_update_index_in_dim(
             paths, jnp.where(alive, nxt, -1), t + 1, axis=1
@@ -177,5 +152,5 @@ def dense_walk_chunk_impl(
 
 dense_walk_chunk = jax.jit(
     dense_walk_chunk_impl,
-    static_argnames=("walk_length", "return_param", "inout_param", "use_pallas"),
+    static_argnames=("walk_length", "return_param", "inout_param"),
 )
