@@ -92,6 +92,41 @@ def build_huffman(counts: np.ndarray) -> HuffmanTree:
     return HuffmanTree(points, codes, lengths, n_inner)
 
 
+def cap_code_length(
+    tree: HuffmanTree, counts: np.ndarray, tail_mass: float = 1e-3
+) -> HuffmanTree:
+    """Cap CODE_LEN at the count-weighted tail: the smallest L whose
+    truncated path entries carry <= ``tail_mass`` of the corpus-weighted
+    total.
+
+    The HS step's cost is linear in the padded CODE_LEN (the
+    ``[B, L1, CODE_LEN, D]`` path tensors), but the padded max is set by the
+    RAREST vertex while the corpus-weighted mean is near the entropy — so
+    deep-suffix lanes are almost entirely masked-out dead weight.  Capping
+    trains rare vertices on a prefix of their Huffman code (gensim's
+    MAX_CODE_LENGTH=40 analogously drops long codes); frequent vertices are
+    untouched, and the affected probability mass is bounded by tail_mass.
+    """
+    w = np.maximum(np.asarray(counts, dtype=np.float64), 0.0)
+    lens = tree.lengths.astype(np.int64)
+    total = float((w * lens).sum())
+    if total <= 0:
+        return tree
+    max_len = int(tree.points.shape[1])
+    for cap in range(1, max_len + 1):
+        truncated = float((w * np.maximum(lens - cap, 0)).sum())
+        if truncated / total <= tail_mass:
+            break
+    if cap >= max_len:
+        return tree
+    return HuffmanTree(
+        points=np.ascontiguousarray(tree.points[:, :cap]),
+        codes=np.ascontiguousarray(tree.codes[:, :cap]),
+        lengths=np.minimum(tree.lengths, cap).astype(np.int32),
+        n_inner=tree.n_inner,
+    )
+
+
 def hs_walk_step_impl(
     emb_in: jnp.ndarray,  # [V, D]
     theta: jnp.ndarray,  # [n_inner, D] inner-node vectors

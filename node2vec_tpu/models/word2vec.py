@@ -211,9 +211,15 @@ class Word2VecTPU:
             n_vertices, p.vector_size, seed=p.seed
         )
         if use_hs:
-            from node2vec_tpu.models.hsoftmax import build_huffman, hs_epoch
+            from node2vec_tpu.models.hsoftmax import (
+                build_huffman,
+                cap_code_length,
+                hs_epoch,
+            )
 
-            tree = build_huffman(self.vocab.counts)
+            tree = cap_code_length(
+                build_huffman(self.vocab.counts), self.vocab.counts
+            )
             hs_points = jnp.asarray(tree.points)
             hs_codes = jnp.asarray(tree.codes)
             hs_len = jnp.asarray(tree.lengths)
@@ -306,11 +312,17 @@ class Word2VecTPU:
         objective of models.hsoftmax.  ``emb_out`` holds the [V-1, D]
         inner-node vectors (word2vec's syn1).
         """
-        from node2vec_tpu.models.hsoftmax import build_huffman, hs_epoch
+        from node2vec_tpu.models.hsoftmax import (
+            build_huffman,
+            cap_code_length,
+            hs_epoch,
+        )
 
         p = self.params
         n_v = self.vocab.n_vertices
-        tree = build_huffman(self.vocab.counts)
+        tree = cap_code_length(
+            build_huffman(self.vocab.counts), self.vocab.counts
+        )
         hs_points = jnp.asarray(tree.points)
         hs_codes = jnp.asarray(tree.codes)
         hs_len = jnp.asarray(tree.lengths)
@@ -645,7 +657,7 @@ class Word2VecTPU:
         vertex counts beyond one device's HBM (parallel/rowsharded_hs.py)."""
         from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
-        from node2vec_tpu.models.hsoftmax import build_huffman
+        from node2vec_tpu.models.hsoftmax import build_huffman, cap_code_length
         from node2vec_tpu.parallel.rowsharded_hs import (
             hs_state_from_host,
             hs_state_to_host,
@@ -669,7 +681,7 @@ class Word2VecTPU:
             raise ValueError(f"No vertex meets min_count={p.min_count}")
         n_dev = int(np.prod([mesh.shape[a] for a in AXES]))
 
-        tree = build_huffman(self.vocab.counts)
+        tree = cap_code_length(build_huffman(self.vocab.counts), self.vocab.counts)
         rep = NamedSharding(mesh, Pspec())
         hs_points = jax.device_put(jnp.asarray(tree.points), rep)
         hs_codes = jax.device_put(jnp.asarray(tree.codes), rep)

@@ -88,3 +88,32 @@ def test_hs_loss_is_path_length_scaled():
     p = m.vocab.counts / m.vocab.counts.sum()
     mean_len = float((p * tree.lengths).sum())
     assert abs(m._losses[0] - mean_len * np.log(2)) / (mean_len * np.log(2)) < 0.05
+
+
+def test_cap_code_length_tail_mass():
+    """Capping keeps >= 1 - tail_mass of the count-weighted path entries,
+    leaves frequent vertices' full codes, and preserves prefix structure."""
+    from node2vec_tpu.models.hsoftmax import cap_code_length
+
+    rng = np.random.default_rng(0)
+    counts = (rng.zipf(1.5, 5000) % 100000).astype(np.int64) + 1
+    tree = build_huffman(counts)
+    capped = cap_code_length(tree, counts, tail_mass=1e-3)
+    assert capped.points.shape[1] <= tree.points.shape[1]
+    cap = capped.points.shape[1]
+    w = counts.astype(np.float64)
+    total = (w * tree.lengths).sum()
+    truncated = (w * np.maximum(tree.lengths - cap, 0)).sum()
+    assert truncated / total <= 1e-3
+    # untruncated vertices keep identical paths
+    keep = tree.lengths <= cap
+    np.testing.assert_array_equal(
+        capped.points[keep], tree.points[keep, :cap]
+    )
+    np.testing.assert_array_equal(capped.lengths[keep], tree.lengths[keep])
+    # truncated vertices keep the PREFIX of their path (root side)
+    v = int(np.argmax(tree.lengths))
+    np.testing.assert_array_equal(capped.points[v], tree.points[v, :cap])
+    assert capped.lengths[v] == cap
+    # degenerate: tail_mass=1 caps to a single level; tail_mass=0 no-op
+    assert cap_code_length(tree, counts, tail_mass=0.0).points.shape[1] == tree.points.shape[1]
