@@ -34,12 +34,12 @@ def _build_sharded_dense_walk(
 ):
     from node2vec_tpu.walk.dense import dense_walk_chunk_impl
 
-    def shard_fn(packed_adj, starts_shard, key):
-        k = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+    def shard_fn(packed_adj, starts_shard, gids_shard, seed):
         return dense_walk_chunk_impl(
             packed_adj,
             starts_shard,
-            k,
+            gids_shard,
+            seed,
             walk_length=walk_length,
             return_param=return_param,
             inout_param=inout_param,
@@ -48,7 +48,7 @@ def _build_sharded_dense_walk(
     mapped = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(axis_name), P()),
+        in_specs=(P(), P(axis_name), P(axis_name), P()),
         out_specs=P(axis_name, None),
         check_vma=False,
     )
@@ -59,7 +59,8 @@ def sharded_dense_walk_chunk(
     mesh: Mesh,
     packed_adj: jax.Array,
     starts: jax.Array,
-    key: jax.Array,
+    gids: jax.Array,
+    seed: jax.Array,
     *,
     walk_length: int,
     return_param: float,
@@ -67,11 +68,13 @@ def sharded_dense_walk_chunk(
     axis_name: str = "data",
 ) -> jax.Array:
     """Dense-engine sharded walk: walkers over ``axis_name``, packed adjacency
-    replicated per device."""
+    replicated per device.  Draws are keyed on (seed, global walker id,
+    step), so output is bit-identical to the single-device engine for the
+    same gids regardless of mesh layout."""
     fn = _build_sharded_dense_walk(
         mesh, walk_length, float(return_param), float(inout_param), axis_name
     )
-    return fn(packed_adj, starts, key)
+    return fn(packed_adj, starts, gids, seed)
 
 
 @functools.lru_cache(maxsize=16)

@@ -366,10 +366,12 @@ class WalkEngine:
         if self.strategy == "dense":
             from node2vec_tpu.walk.dense import dense_walk_chunk
 
+            gids = jnp.arange(gid_base, gid_base + len(chunk_starts), dtype=jnp.int32)
             return dense_walk_chunk(
                 self.packed_adj,
                 jnp.asarray(chunk_starts),
-                key,
+                gids,
+                jnp.uint32(seed & 0xFFFFFFFF),
                 walk_length=p.walk_length,
                 return_param=float(p.return_param),
                 inout_param=float(p.inout_param),
@@ -476,11 +478,15 @@ class WalkEngine:
             )
         starts = jnp.asarray(chunk_starts)
         if self.strategy == "dense":
+            gids = jnp.arange(
+                gid_base, gid_base + len(chunk_starts), dtype=jnp.int32
+            )
             out = sharded_dense_walk_chunk(
                 self.mesh,
                 self.packed_adj,
                 starts,
-                key,
+                gids,
+                jnp.uint32(seed & 0xFFFFFFFF),
                 walk_length=p.walk_length,
                 return_param=float(p.return_param),
                 inout_param=float(p.inout_param),
@@ -539,10 +545,12 @@ class WalkEngine:
         """All walks as a host array [num_starts * num_walks, walk_length+1].
 
         Row layout: walk copy ``i`` of start vertex ``v`` is row
-        ``i * num_starts + v`` — deterministic under (seed, params) INCLUDING
-        ``walker_chunk``: PRNG keys are folded per chunk index, so changing
-        the chunk size reassigns lanes to keys and yields different (equally
-        distributed) walks.  With ``checkpoint_dir``, completed chunks are
+        ``i * num_starts + v``.  The dense, blocked, and edge-partitioned
+        engines key every draw on (seed, GLOBAL walker id, counter), so
+        results are bit-deterministic under (seed, params) INCLUDING
+        ``walker_chunk`` and sharding layout; the CSR fallback still folds
+        keys per chunk (changing walker_chunk there yields different,
+        equally distributed walks).  With ``checkpoint_dir``, completed chunks are
         persisted and a restarted run with the same configuration skips them
         (the reference's every-10-steps lineage checkpoint analogue,
         spark.py:597-598); a changed configuration is detected by fingerprint

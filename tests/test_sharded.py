@@ -91,7 +91,8 @@ def test_sharded_dense_walks_valid(mesh_flat, karate_edges):
     starts = jnp.arange(32, dtype=jnp.int32)
     paths = np.asarray(
         sharded_dense_walk_chunk(
-            mesh_flat, engine.packed_adj, starts, jax.random.PRNGKey(1),
+            mesh_flat, engine.packed_adj, starts,
+            jnp.arange(32, dtype=jnp.int32), jnp.uint32(1),
             walk_length=6, return_param=0.25, inout_param=4.0,
         )
     )
@@ -243,3 +244,26 @@ def test_sharded_sgns_tp_only_equals_single_device(karate_edges):
     np.testing.assert_allclose(float(loss_sh), float(loss_1d), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(state2.emb_in), np.asarray(e1), atol=1e-6)
     np.testing.assert_allclose(np.asarray(state2.emb_out), np.asarray(e2), atol=1e-6)
+
+
+def test_sharded_dense_bitmatch_single_device(mesh_flat, karate_edges):
+    """gid-keyed RNG: dense walks are bit-identical between the single-device
+    engine and the mesh-sharded path for the same (seed, gids)."""
+    from node2vec_tpu.parallel import sharded_dense_walk_chunk
+    from node2vec_tpu.walk.dense import dense_walk_chunk
+    from node2vec_tpu.walk.engine import WalkEngine
+
+    src, dst = karate_edges
+    g = from_edge_arrays(src, dst, directed=False)
+    engine = WalkEngine(g, Node2VecParams(walk_length=6))
+    starts = jnp.arange(32, dtype=jnp.int32)
+    gids = jnp.arange(32, dtype=jnp.int32)
+    single = dense_walk_chunk(
+        engine.packed_adj, starts, gids, jnp.uint32(9),
+        walk_length=6, return_param=0.25, inout_param=4.0,
+    )
+    sharded = sharded_dense_walk_chunk(
+        mesh_flat, engine.packed_adj, starts, gids, jnp.uint32(9),
+        walk_length=6, return_param=0.25, inout_param=4.0,
+    )
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))

@@ -51,17 +51,23 @@ def test_walks_deterministic(karate_edges):
 
 
 def test_walks_chunking_invariance(karate_edges):
-    """Results must not depend on walker_chunk size (chunk-indexed PRNG)."""
+    """Dense (and blocked) engines key draws on the GLOBAL walker id, so
+    walk content is bit-invariant to walker_chunk (VERDICT round-1 weak
+    item 6: layout-independent PRNG)."""
     src, dst = karate_edges
     g = from_edge_arrays(src, dst, directed=False)
-    p_small = Node2VecParams(num_walks=2, walk_length=5, walker_chunk=16)
-    p_big = Node2VecParams(num_walks=2, walk_length=5, walker_chunk=1 << 16)
-    w_small = random_walks(g, p_small, seed=7)
-    w_big = random_walks(g, p_big, seed=7)
-    # chunking changes fold_in indices, so exact equality isn't expected;
-    # but shapes, starts, and validity must hold for both
-    assert w_small.shape == w_big.shape
-    np.testing.assert_array_equal(w_small[:, 0], w_big[:, 0])
+    for p, q in [(1.0, 1.0), (0.25, 4.0)]:
+        p_small = Node2VecParams(
+            num_walks=2, walk_length=5, walker_chunk=16,
+            return_param=p, inout_param=q,
+        )
+        p_big = Node2VecParams(
+            num_walks=2, walk_length=5, walker_chunk=1 << 16,
+            return_param=p, inout_param=q,
+        )
+        w_small = random_walks(g, p_small, seed=7)
+        w_big = random_walks(g, p_big, seed=7)
+        np.testing.assert_array_equal(w_small, w_big)
 
 
 def test_sink_vertices_end_walks():
