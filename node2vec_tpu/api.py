@@ -176,6 +176,7 @@ class Node2Vec:
                 np.asarray(walks_dev), self.mesh,
                 n_vertices=self.graph.n_vertices, verbose=verbose,
                 table_sharding=self.table_sharding,
+                checkpoint_dir=self.checkpoint_dir,
             )
         else:
             self.backend.model.fit(
@@ -201,6 +202,7 @@ class Node2Vec:
             self.backend.model.fit_sharded(
                 self.walks, self.mesh, n_vertices=n_v, verbose=verbose,
                 table_sharding=self.table_sharding,
+                checkpoint_dir=self.checkpoint_dir,
             )
         else:
             self.backend.model.fit(

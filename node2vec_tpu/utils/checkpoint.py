@@ -78,6 +78,8 @@ def load_walk_chunks(
                 for fn in os.listdir(checkpoint_dir)
                 if re.fullmatch(r"walks_chunk_(\d+)\.npz", fn)
             ]
+            if stored is None and not stale:
+                return {}  # fresh dir: nothing to discard, nothing to warn
             logger.warning(
                 "walk checkpoint dir %s was written by a different "
                 "configuration (fingerprint %s != %s); discarding %d stale "
