@@ -121,7 +121,17 @@ class Node2VecParams:
     inout_param: float = 1.0  # q: in-out exploration bias
 
     # TPU-specific knobs (no reference analogue):
-    max_rejection_trials: int = 64  # rejection-sampling round cap per step
+    # max_rejection_trials caps the p/q rejection rounds per step; lanes that
+    # exhaust the cap accept their current proposal (drawn from the exact
+    # back-edge-atom + prev-excluded-∝weight mixture, i.e. only the
+    # shared-vs-other q bias of that step is approximated).  The default 64
+    # is effectively EXACT (forced acceptances don't occur in practice and
+    # are counted in WalkEngine.fallback_count).  Setting it low is the
+    # documented APPROXIMATE mode: on heavy-tail graphs at p=.25/q=4, cap=2
+    # is ~1.8x walk throughput with ~17% of steps forced, cap=1 ~2.6x with
+    # ~25% forced (experiments/approx_trials_bench.py; quality impact
+    # measured in experiments/approx_quality.py).
+    max_rejection_trials: int = 64
     walker_chunk: int = 1 << 17  # walkers processed per device sweep
 
     def __post_init__(self) -> None:
@@ -134,6 +144,10 @@ class Node2VecParams:
             raise ValueError(f"walk_length must be >= 1, got {self.walk_length}")
         if self.num_walks < 1:
             raise ValueError(f"num_walks must be >= 1, got {self.num_walks}")
+        if self.max_rejection_trials < 1:
+            raise ValueError(
+                f"max_rejection_trials must be >= 1, got {self.max_rejection_trials}"
+            )
 
     @classmethod
     def from_dict(cls, d: Optional[Mapping[str, Any]], profile: str = "fugue") -> "Node2VecParams":

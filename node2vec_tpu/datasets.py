@@ -62,16 +62,26 @@ def synthetic_multilabel(
     labels_per_vertex: float = 1.6,
     p_in_out_ratio: float = 12.0,
     seed: int = 0,
+    degree_skew: float = 0.0,
 ) -> Tuple[Graph, np.ndarray]:
     """Overlapping-community graph with community ids as multi-labels.
 
     Each vertex joins 1+ communities; edge probability is much higher within
     a shared community — so embeddings that capture homophily predict labels.
+    ``degree_skew`` > 0 draws intra-community endpoints from a zipf-like
+    weight ``rank^-skew`` instead of uniformly, producing hub vertices (so
+    the heavy-tail blocked engine, not the dense one, carries the walks).
     """
     rng = np.random.default_rng(seed)
     member = rng.random((n_vertices, n_labels)) < (labels_per_vertex / n_labels)
     none = ~member.any(axis=1)
     member[none, rng.integers(0, n_labels, none.sum())] = True
+
+    def pick(vs: np.ndarray, k: int) -> np.ndarray:
+        if degree_skew <= 0.0:
+            return vs[rng.integers(0, len(vs), k)]
+        w = np.arange(1, len(vs) + 1, dtype=np.float64) ** -degree_skew
+        return vs[rng.choice(len(vs), size=k, p=w / w.sum())]
 
     # sample edges: intra-community pairs (via per-community sampling) + noise
     src_list, dst_list = [], []
@@ -82,8 +92,8 @@ def synthetic_multilabel(
         if len(vs) < 2:
             continue
         k = int(per_label[c])
-        src_list.append(vs[rng.integers(0, len(vs), k)])
-        dst_list.append(vs[rng.integers(0, len(vs), k)])
+        src_list.append(pick(vs, k))
+        dst_list.append(pick(vs, k))
     n_noise = int(n_intra / p_in_out_ratio)
     src_list.append(rng.integers(0, n_vertices, n_noise).astype(np.int64))
     dst_list.append(rng.integers(0, n_vertices, n_noise).astype(np.int64))

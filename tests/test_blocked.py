@@ -291,6 +291,36 @@ def test_fallback_counting():
     assert e.fallback_count > 0
 
 
+def test_approx_mode_valid_edges_and_chunk_invariant():
+    """Approximate mode (cap=1): forced acceptances still traverse real
+    edges (the proposal is an exact ∝w draw), and the counter-keyed RNG
+    keeps walks bit-invariant to chunking."""
+    g = _hub_graph()
+    kw = dict(
+        num_walks=4, walk_length=6, return_param=0.25, inout_param=4.0,
+        max_rejection_trials=1,
+    )
+    e = WalkEngine(
+        g, Node2VecParams(walker_chunk=1 << 15, **kw), strategy="blocked"
+    )
+    walks = np.asarray(e.run(seed=13))
+    assert e.fallback_count > 0  # the cap actually bit
+
+    edges = set(zip(
+        np.repeat(np.arange(g.n_vertices), np.diff(g.indptr)).tolist(),
+        g.indices.tolist(),
+    ))
+    for row in walks:
+        for a, b in zip(row[:-1], row[1:]):
+            if a >= 0 and b >= 0:
+                assert (int(a), int(b)) in edges
+
+    w_small = WalkEngine(
+        g, Node2VecParams(walker_chunk=256, **kw), strategy="blocked"
+    ).run(seed=13)
+    np.testing.assert_array_equal(walks, w_small)
+
+
 def test_sharded_matches_single_device():
     """8-way sharded blocked walks must be bit-identical to single-device
     (counter-based RNG ⇒ layout invariance)."""
