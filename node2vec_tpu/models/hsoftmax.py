@@ -14,6 +14,20 @@ On TPU the per-pair path loop becomes dense batched einsums over a fixed
 length with masked lanes, MXU-friendly.  HS fetches ~code_len× more rows per
 pair than shared-negative SGNS, which is why SGNS stays the performance
 default; HS is the parity option.
+
+Two structural optimizations on top:
+
+* ``cap_code_length`` caps the padded width at the count-weighted 1e-3 tail
+  (deep suffixes are almost entirely masked dead weight);
+* **level-shared dense head**: inner nodes are BFS-renumbered so tree levels
+  are contiguous id ranges (``HuffmanTree.level_offsets``), and the first H
+  levels — a few hundred nodes absorbing ~60% of the count-weighted path
+  mass — are scored/updated via MXU matmuls on the ``theta[:K]`` slice
+  instead of row gathers/scatters (``head_offsets`` in hs_walk_step_impl).
+  Measured 1.4× (4.75 → 6.63M pairs/s at 131k vertices, dim 128), and more
+  stable: head rows take ONE pre-aggregated Adagrad update per batch instead
+  of a per-occurrence sum that can oscillate the root row
+  (experiments/hs_head_bench.py).
 """
 
 from __future__ import annotations
@@ -35,6 +49,12 @@ class HuffmanTree(NamedTuple):
     codes: np.ndarray  # [V, L] int8 branch bits
     lengths: np.ndarray  # [V] int32 code lengths
     n_inner: int
+    # inner nodes are numbered breadth-first: depth-j nodes occupy ids
+    # [level_offsets[j], level_offsets[j+1]) and path position c is depth c,
+    # so points[:, c] always falls in level c's contiguous range.  This is
+    # what lets the trainer handle the first H levels as DENSE tables (MXU
+    # matmuls) instead of row gathers — see hs_walk_step_impl.
+    level_offsets: np.ndarray  # [max_depth+1] int64 cumulative level sizes
 
 
 def build_huffman(counts: np.ndarray) -> HuffmanTree:
@@ -48,7 +68,7 @@ def build_huffman(counts: np.ndarray) -> HuffmanTree:
     if n == 1:
         return HuffmanTree(
             np.zeros((1, 1), np.int32), np.zeros((1, 1), np.int8),
-            np.ones(1, np.int32), 1,
+            np.ones(1, np.int32), 1, np.array([0, 1], np.int64),
         )
     # heap of (count, tiebreak, node_id); leaves 0..n-1, inner n..2n-2
     heap = [(int(c), i, i) for i, c in enumerate(counts)]
@@ -67,6 +87,20 @@ def build_huffman(counts: np.ndarray) -> HuffmanTree:
     root = nxt - 1
     n_inner = nxt - n
 
+    # breadth-first renumbering: Huffman allocation is bottom-up (parent id >
+    # child id), so one descending pass assigns depths; stable sort by depth
+    # gives each level a contiguous id range (level_offsets)
+    depth = np.zeros(2 * n - 1, dtype=np.int32)
+    for x in range(2 * n - 3, n - 1, -1):
+        depth[x] = depth[parent[x]] + 1
+    inner_depth = depth[n:]
+    order = np.argsort(inner_depth, kind="stable")
+    new_id = np.empty(n_inner, dtype=np.int64)
+    new_id[order] = np.arange(n_inner)
+    level_offsets = np.concatenate(
+        [[0], np.cumsum(np.bincount(inner_depth))]
+    ).astype(np.int64)
+
     max_len = 0
     paths = []
     for v in range(n):
@@ -75,7 +109,7 @@ def build_huffman(counts: np.ndarray) -> HuffmanTree:
         node = v
         while node != root:
             code.append(branch[node])
-            pts.append(parent[node] - n)  # inner-node id in [0, n_inner)
+            pts.append(new_id[parent[node] - n])  # BFS inner-node id
             node = parent[node]
         code.reverse()
         pts.reverse()
@@ -89,7 +123,7 @@ def build_huffman(counts: np.ndarray) -> HuffmanTree:
         points[v, : len(pts)] = pts
         codes[v, : len(code)] = code
         lengths[v] = len(code)
-    return HuffmanTree(points, codes, lengths, n_inner)
+    return HuffmanTree(points, codes, lengths, n_inner, level_offsets)
 
 
 def cap_code_length(
@@ -124,6 +158,7 @@ def cap_code_length(
         codes=np.ascontiguousarray(tree.codes[:, :cap]),
         lengths=np.minimum(tree.lengths, cap).astype(np.int32),
         n_inner=tree.n_inner,
+        level_offsets=tree.level_offsets,
     )
 
 
@@ -142,6 +177,7 @@ def hs_walk_step_impl(
     *,
     window: int,
     shrink_window: bool,
+    head_offsets: Tuple[int, ...] = (0,),
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One HS step over a walk batch (positional structure like
     sgns_walk_step_impl: per-position path gathers, shifted-window products).
@@ -149,10 +185,25 @@ def hs_walk_step_impl(
     For each valid (center i, context i+d) pair:
       loss -= Σ_j mask_j · log σ(sgn_j · v_in[center] · θ[point_j(context)])
     with sgn = 1-2·code.
+
+    ``head_offsets`` = tree.level_offsets[:H+1] (static): the first H tree
+    levels — a few hundred inner nodes absorbing most of the count-weighted
+    path mass (Huffman depth ≈ entropy, so FREQUENT vertices live entirely in
+    the head) — are handled DENSELY: one ``[B·L1, D] @ [D, K]`` MXU matmul
+    scores every head node against every center, per-level one-hot selects
+    pick each context's path entry, and head gradients flow back through two
+    matmuls onto the ``theta[:K]`` slice.  Only path levels >= H pay the
+    per-row gather/scatter.  Head rows get ONE pre-aggregated Adagrad update
+    per batch (vs per-occurrence for tail rows) — a deliberate divergence:
+    the root appears in every pair, and summing its sq-grads per occurrence
+    only inflates the accumulator faster.
     """
     n_walks, length = walks.shape
     dim = emb_in.shape[1]
     cl = hs_points.shape[1]
+    n_head = min(len(head_offsets) - 1, cl)  # head levels handled densely
+    k_rows = int(head_offsets[n_head])  # dense head table rows
+    clt = cl - n_head  # gathered tail width
     k_shrink = key
 
     walks_safe = jnp.where(walks >= 0, walks, 0)
@@ -166,11 +217,21 @@ def hs_walk_step_impl(
         jax.lax.broadcasted_iota(jnp.int32, (n_walks, length, cl), 2)
         < plen[..., None]
     ).astype(jnp.float32)
-    # the [B, L1, CL, D] path tensors dominate HBM traffic — hold them in
+    sgn = 1.0 - 2.0 * cds  # [B, L1, CL]
+
+    # the [B, L1, CLT, D] path tensors dominate HBM traffic — hold them in
     # bfloat16 (masters stay fp32; logits/loss accumulate fp32 via
     # preferred_element_type, so only gradient *storage* is rounded)
-    th = theta.astype(jnp.bfloat16)[pts]  # [B, L1, CL, D] — the big gather
-    sgn = 1.0 - 2.0 * cds  # [B, L1, CL]
+    theta_bf = theta.astype(jnp.bfloat16)
+    pts_t = pts[:, :, n_head:]
+    th = theta_bf[pts_t] if clt else None  # the big tail gather
+    if n_head:
+        t_head = jax.lax.slice_in_dim(theta_bf, 0, k_rows, axis=0)  # [K, D]
+        # every head node scored against every center position, once
+        l_head = jnp.einsum(
+            "bld,kd->blk", x_bf, t_head, preferred_element_type=jnp.float32
+        )
+        dl_sum = jnp.zeros((n_walks, length, k_rows), jnp.bfloat16)
 
     offsets = [d for d in range(-window, window + 1) if d != 0]
     if shrink_window:
@@ -184,68 +245,131 @@ def hs_walk_step_impl(
         return jax.lax.dynamic_slice_in_dim(xp, d + window, length, axis=1)
 
     g_in = jnp.zeros_like(x_in)
-    g_th = jnp.zeros_like(th)  # bf16 accumulator per context position's path
+    g_th = jnp.zeros_like(th) if clt else None  # bf16 tail accumulator
     loss = jnp.float32(0.0)
     n_pairs = jnp.float32(0.0)
 
     for d in offsets:
-        th_c = shift(th, d)  # context's path vectors at the center position
         sgn_c = shift(sgn, d)
         pm_c = shift(pmask, d)
         pv = (valid_pos & shift(valid_pos, d) & (abs(d) <= b_sh)).astype(
             jnp.float32
         )
-        # logits over the path: [B, L1, CL], fp32 accumulation on the MXU
-        logit = jnp.einsum(
-            "bld,blcd->blc", x_bf, th_c, preferred_element_type=jnp.float32
-        )
-        m = pv[..., None] * pm_c
-        loss = loss - jnp.sum(_log_sigmoid(sgn_c * logit) * m)
         n_pairs = n_pairs + jnp.sum(pv)
-        # d/dlogit of -logσ(s·x) = σ(x) - t with 0/1 target t = (1+s)/2
-        # (code 0 → s=+1 → target 1; code 1 → s=-1 → target 0)
-        g = (jax.nn.sigmoid(logit) - (1.0 + sgn_c) / 2.0) * m
-        g_bf = g.astype(jnp.bfloat16)
-        g_in = g_in + jnp.einsum(
-            "blc,blcd->bld", g_bf, th_c, preferred_element_type=jnp.float32
-        )
-        g_th = g_th + shift(
-            jnp.einsum("blc,bld->blcd", g_bf, x_bf,
-                       preferred_element_type=jnp.bfloat16),
-            -d,
-        )
+        m = pv[..., None] * pm_c  # [B, L1, CL]
+
+        if clt:
+            th_c = shift(th, d)  # context's tail path vectors at the center
+            # logits over the tail path: fp32 accumulation on the MXU
+            logit = jnp.einsum(
+                "bld,blcd->blc", x_bf, th_c,
+                preferred_element_type=jnp.float32,
+            )
+            sgn_t = sgn_c[:, :, n_head:]
+            m_t = m[:, :, n_head:]
+            loss = loss - jnp.sum(_log_sigmoid(sgn_t * logit) * m_t)
+            # d/dlogit of -logσ(s·x) = σ(x) - t with 0/1 target t = (1+s)/2
+            # (code 0 → s=+1 → target 1; code 1 → s=-1 → target 0)
+            g = (jax.nn.sigmoid(logit) - (1.0 + sgn_t) / 2.0) * m_t
+            g_bf = g.astype(jnp.bfloat16)
+            g_in = g_in + jnp.einsum(
+                "blc,blcd->bld", g_bf, th_c,
+                preferred_element_type=jnp.float32,
+            )
+            g_th = g_th + shift(
+                jnp.einsum("blc,bld->blcd", g_bf, x_bf,
+                           preferred_element_type=jnp.bfloat16),
+                -d,
+            )
+
+        if n_head:
+            sel = shift(pts[:, :, :n_head], d)  # context's head path ids
+            dl_levels = []
+            for j in range(n_head):
+                lo, hi = int(head_offsets[j]), int(head_offsets[j + 1])
+                idx = sel[:, :, j] - lo  # level-local id, [B, L1]
+                oh = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (n_walks, length, hi - lo), 2
+                    )
+                    == idx[..., None]
+                )
+                lj = jax.lax.slice_in_dim(l_head, lo, hi, axis=2)
+                logit_j = jnp.sum(jnp.where(oh, lj, 0.0), axis=-1)
+                sgn_j = sgn_c[:, :, j]
+                m_j = m[:, :, j]
+                loss = loss - jnp.sum(
+                    _log_sigmoid(sgn_j * logit_j) * m_j
+                )
+                g_j = (jax.nn.sigmoid(logit_j) - (1.0 + sgn_j) / 2.0) * m_j
+                dl_levels.append(
+                    jnp.where(oh, g_j[..., None], 0.0).astype(jnp.bfloat16)
+                )
+            dl_sum = dl_sum + jnp.concatenate(dl_levels, axis=2)
 
     n_pairs = jnp.maximum(n_pairs, 1.0)
     loss = loss / n_pairs
 
-    # row-wise Adagrad, one scatter per table
+    # row-wise Adagrad
     eps = 1e-12
+    lr = jnp.asarray(lr, jnp.float32)
     rows = walks_safe.reshape(-1)
     row_valid = (walks >= 0).reshape(-1).astype(jnp.float32)
+
+    if n_head:
+        # dense head closure: two matmuls replace the per-row gather/scatter
+        g_in = g_in + jnp.einsum(
+            "blk,kd->bld", dl_sum, t_head, preferred_element_type=jnp.float32
+        )
+        d_head = jnp.einsum(
+            "blk,bld->kd", dl_sum, x_bf, preferred_element_type=jnp.float32
+        )  # [K, D] pre-aggregated head gradient
+        acc_theta = acc_theta.at[:k_rows].add(
+            jnp.mean(d_head * d_head, axis=-1)
+        )
+        scale_h = jax.lax.rsqrt(
+            jax.lax.slice_in_dim(acc_theta, 0, k_rows, axis=0) + eps
+        )
+        theta = theta.at[:k_rows].add(-lr * d_head * scale_h[:, None])
+
     g_in_flat = g_in.reshape(-1, dim)
-    prow = pts.reshape(-1)
-    g_th_flat = g_th.reshape(-1, dim).astype(jnp.float32)
-    th_valid = (pmask.reshape(-1) > 0).astype(jnp.float32) * jnp.repeat(
-        row_valid, cl
-    )
-
     sq_in = jnp.mean(g_in_flat * g_in_flat, axis=-1) * row_valid
-    sq_th = jnp.mean(g_th_flat * g_th_flat, axis=-1) * th_valid
     acc_in = acc_in.at[rows].add(sq_in)
-    acc_theta = acc_theta.at[prow].add(sq_th)
     scale_in = jax.lax.rsqrt(acc_in[rows] + eps) * row_valid
-    scale_th = jax.lax.rsqrt(acc_theta[prow] + eps) * th_valid
-
     emb_in = emb_in.at[rows].add(-lr * g_in_flat * scale_in[:, None])
-    theta = theta.at[prow].add(-lr * g_th_flat * scale_th[:, None])
+
+    if clt:
+        prow = pts_t.reshape(-1)
+        g_th_flat = g_th.reshape(-1, dim).astype(jnp.float32)
+        th_valid = (
+            pmask[:, :, n_head:].reshape(-1) > 0
+        ).astype(jnp.float32) * jnp.repeat(row_valid, clt)
+        sq_th = jnp.mean(g_th_flat * g_th_flat, axis=-1) * th_valid
+        acc_theta = acc_theta.at[prow].add(sq_th)
+        scale_th = jax.lax.rsqrt(acc_theta[prow] + eps) * th_valid
+        theta = theta.at[prow].add(-lr * g_th_flat * scale_th[:, None])
     return emb_in, theta, acc_in, acc_theta, loss
+
+
+def head_level_offsets(
+    tree: HuffmanTree, max_rows: int = 512
+) -> Tuple[int, ...]:
+    """Static head split for hs_walk_step_impl: the longest level prefix
+    whose dense table stays within ``max_rows`` inner nodes (and within the
+    padded path width).  Returns (0,) when no dense head applies."""
+    off = tree.level_offsets
+    cl = tree.points.shape[1]
+    h = 0
+    while h < len(off) - 1 and h < cl and off[h + 1] <= max_rows:
+        h += 1
+    return tuple(int(x) for x in off[: h + 1])
 
 
 def _hs_epoch_impl(
     emb_in, theta, acc_in, acc_theta, corpus, key, step0, lr0, lr_slope,
     hs_points, hs_codes, hs_len, vocab_mask, *,
     batch: int, n_batches: int, window: int, shrink_window: bool,
-    min_lr: float,
+    min_lr: float, head_offsets: Tuple[int, ...] = (0,),
 ):
     """A whole HS epoch inside one jit (lax.scan), like sgns_epoch."""
 
@@ -259,6 +383,7 @@ def _hs_epoch_impl(
             jax.random.fold_in(key, gstep), lr,
             hs_points, hs_codes, hs_len, vocab_mask,
             window=window, shrink_window=shrink_window,
+            head_offsets=head_offsets,
         )
         return (emb_in, theta, acc_in, acc_theta), loss
 
@@ -274,6 +399,7 @@ hs_epoch = functools.partial(
     jax.jit,
     static_argnames=(
         "batch", "n_batches", "window", "shrink_window", "min_lr",
+        "head_offsets",
     ),
     donate_argnames=("emb_in", "theta", "acc_in", "acc_theta"),
 )(_hs_epoch_impl)

@@ -214,6 +214,7 @@ class Word2VecTPU:
             from node2vec_tpu.models.hsoftmax import (
                 build_huffman,
                 cap_code_length,
+                head_level_offsets,
                 hs_epoch,
             )
 
@@ -223,6 +224,7 @@ class Word2VecTPU:
             hs_points = jnp.asarray(tree.points)
             hs_codes = jnp.asarray(tree.codes)
             hs_len = jnp.asarray(tree.lengths)
+            hs_head = head_level_offsets(tree)
             # emb_out/acc_out slots carry the inner-node table (syn1) so the
             # streaming loop below is objective-agnostic
             emb_out = jnp.zeros((tree.n_inner, p.vector_size), jnp.float32)
@@ -275,6 +277,7 @@ class Word2VecTPU:
                         window=p.window_size,
                         shrink_window=p.shrink_window,
                         min_lr=p.min_step_size,
+                        head_offsets=hs_head,
                     )
                 else:
                     emb_in, emb_out, acc_in, acc_out, losses = sgns_epoch(
@@ -315,6 +318,7 @@ class Word2VecTPU:
         from node2vec_tpu.models.hsoftmax import (
             build_huffman,
             cap_code_length,
+            head_level_offsets,
             hs_epoch,
         )
 
@@ -326,6 +330,7 @@ class Word2VecTPU:
         hs_points = jnp.asarray(tree.points)
         hs_codes = jnp.asarray(tree.codes)
         hs_len = jnp.asarray(tree.lengths)
+        hs_head = head_level_offsets(tree)
         vocab_mask = jnp.asarray(self.vocab.mask)
 
         key = jax.random.PRNGKey(p.seed)
@@ -367,6 +372,7 @@ class Word2VecTPU:
                 vocab_mask,
                 batch=batch, n_batches=n_batches, window=p.window_size,
                 shrink_window=p.shrink_window, min_lr=p.min_step_size,
+                head_offsets=hs_head,
             )
             if ctx is not None:
                 ctx.__exit__(None, None, None)

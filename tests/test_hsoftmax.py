@@ -40,11 +40,59 @@ def test_huffman_points_in_range():
     rng = np.random.default_rng(0)
     counts = rng.integers(1, 1000, 300)
     tree = build_huffman(counts)
+    off = tree.level_offsets
+    assert off[0] == 0 and off[-1] == tree.n_inner
+    assert off[1] == 1  # level 0 is exactly the root
     for v in range(300):
         pts = tree.points[v, : tree.lengths[v]]
         assert (pts >= 0).all() and (pts < tree.n_inner).all()
-        # root is first on every path
-        assert pts[0] == tree.n_inner - 1
+        # BFS numbering: root (id 0) first, and path position c is depth c,
+        # so every entry falls in its level's contiguous id range
+        assert pts[0] == 0
+        for c, pt in enumerate(pts):
+            assert off[c] <= pt < off[c + 1]
+
+
+def test_hs_head_dense_loss_matches_gather_path():
+    """The dense-head formulation scores the SAME theta rows through matmuls
+    instead of gathers — forward loss must match the pure-gather path."""
+    import jax.numpy as jnp
+
+    from node2vec_tpu.models.hsoftmax import (
+        head_level_offsets,
+        hs_walk_step_impl,
+    )
+
+    rng = np.random.default_rng(1)
+    n_v, dim = 64, 16
+    counts = rng.integers(1, 500, n_v)
+    tree = build_huffman(counts)
+    head = head_level_offsets(tree, max_rows=16)
+    assert len(head) > 2  # the dense head actually engages
+
+    walks = rng.integers(0, n_v, (8, 9)).astype(np.int32)
+    emb_in = jnp.asarray(rng.normal(0, 0.1, (n_v, dim)).astype(np.float32))
+    theta = jnp.asarray(
+        rng.normal(0, 0.1, (tree.n_inner, dim)).astype(np.float32)
+    )
+    acc = jnp.zeros((n_v,), jnp.float32)
+    acc_t = jnp.zeros((tree.n_inner,), jnp.float32)
+    args = (
+        jnp.asarray(walks), __import__("jax").random.PRNGKey(0),
+        jnp.float32(0.01), jnp.asarray(tree.points), jnp.asarray(tree.codes),
+        jnp.asarray(tree.lengths), jnp.ones((n_v,), bool),
+    )
+    _, _, _, _, loss_gather = hs_walk_step_impl(
+        emb_in, theta, acc, acc_t, *args, window=3, shrink_window=False,
+        head_offsets=(0,),
+    )
+    _, _, _, _, loss_head = hs_walk_step_impl(
+        emb_in, theta, acc, acc_t, *args, window=3, shrink_window=False,
+        head_offsets=head,
+    )
+    np.testing.assert_allclose(
+        float(loss_gather), float(loss_head), rtol=2e-2
+    )
 
 
 def test_hs_training_separates_cliques():
