@@ -663,7 +663,11 @@ class Word2VecTPU:
         vertex counts beyond one device's HBM (parallel/rowsharded_hs.py)."""
         from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
-        from node2vec_tpu.models.hsoftmax import build_huffman, cap_code_length
+        from node2vec_tpu.models.hsoftmax import (
+            build_huffman,
+            cap_code_length,
+            head_level_offsets,
+        )
         from node2vec_tpu.parallel.rowsharded_hs import (
             hs_state_from_host,
             hs_state_to_host,
@@ -741,6 +745,7 @@ class Word2VecTPU:
                 window=p.window_size,
                 shrink_window=p.shrink_window,
                 min_lr=p.min_step_size,
+                head_offsets=head_level_offsets(tree),
             )
             total_dropped += int(dropped)
             self._losses.append(float(losses.mean()))

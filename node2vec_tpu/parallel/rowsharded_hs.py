@@ -13,10 +13,13 @@ SGNS (parallel/rowsharded_sgns.py — reused, not duplicated).
 
 Per step, per device:
 * center rows: ``[B·L1]`` requests against the emb_in shards;
-* path rows: ``[B·L1·CODE_LEN]`` requests against the theta shards (the
-  Huffman path of each position's vertex; dedup collapses the hot tree-top
-  rows, which every pair touches, to one request each — the deeper the node,
-  the rarer, so unique counts stay near SGNS levels);
+* tree-top rows (the first H Huffman levels, ≤512 nodes holding ~60% of the
+  count-weighted path mass): NOT routed — hot-row replication.  Each device
+  all-gathers the head slice (≤256KB), scores it through MXU matmuls, and
+  the pre-aggregated ``[K, D]`` head gradient is psum'd; owners apply their
+  own rows (see models/hsoftmax.py level renumbering);
+* remaining path rows: ``[B·L1·(CODE_LEN−H)]`` requests against the theta
+  shards (dedup collapses repeats);
 * gradients pre-aggregate per unique row, route back, and owners apply
   row-wise Adagrad — duplicate-safe two-pass, identical to the SGNS path.
 
@@ -153,16 +156,29 @@ def _row_hs_step(
     emb_in_l, theta_l, acc_in_l, acc_th_l,
     walks_shard, key, lr, hs_points, hs_codes, hs_len, vocab_mask,
     *, n_dev, cap_in, cap_th, window, shrink_window, axis_name,
+    head_offsets=(0,),
 ):
     """One routed HS step on one device's walk slice (inside shard_map).
 
     Pair math is identical to the single-device kernel
     (models/hsoftmax.py hs_walk_step_impl): for each (center i, context i+d),
     loss -= Σ_j mask_j · log σ((1-2·code_j) · v_in[center] · θ[point_j(ctx)]).
+
+    With ``head_offsets`` (BFS level prefix, see hsoftmax.head_level_offsets)
+    the hottest inner nodes — the tree top, requested by EVERY pair — are not
+    routed at all: each device all-gathers the ≤512-row head slice once per
+    step (hot-row replication), scores it through MXU matmuls, and psums the
+    pre-aggregated [K, D] head gradient; owners apply their own rows.  Only
+    path levels >= H go through the all-to-all, so routed traffic and
+    capacity pressure drop by the head fraction (~60% of count-weighted
+    requests) and head rows can never be capacity-dropped.
     """
     n_walks, length = walks_shard.shape
     dim = emb_in_l.shape[1]
     cl = hs_points.shape[1]
+    n_head = min(len(head_offsets) - 1, cl)
+    k_rows = int(head_offsets[n_head])
+    clt = cl - n_head
     my = jax.lax.axis_index(axis_name)
     k_shrink = jax.random.fold_in(key, my)
 
@@ -173,22 +189,39 @@ def _row_hs_step(
     pts = hs_points[walks_safe]  # [B, L1, CL] replicated metadata lookup
     cds = hs_codes[walks_safe].astype(jnp.float32)
     plen = hs_len[walks_safe]
-    prow = pts.reshape(-1)  # [B*L1*CL] theta requests (dedup collapses them)
+    pts_t = pts[:, :, n_head:]
+    prow = pts_t.reshape(-1)  # [B*L1*CLT] routed tail theta requests
 
     plan_in = _plan_routes(rows, n_dev, cap_in)
-    plan_th = _plan_routes(prow, n_dev, cap_th)
     x_in = _routed_gather(emb_in_l, plan_in, n_dev, axis_name)[plan_in.inv]
-    th = _routed_gather(theta_l, plan_th, n_dev, axis_name)[plan_th.inv]
     x_in = x_in.reshape(n_walks, length, dim)
-    th = th.reshape(n_walks, length, cl, dim)
-
     valid_pos = valid_pos & plan_in.ok[plan_in.inv].reshape(n_walks, length)
-    pmask = (
+
+    pm_all = (
         jax.lax.broadcasted_iota(jnp.int32, (n_walks, length, cl), 2)
         < plen[..., None]
-    ).astype(jnp.float32) * plan_th.ok[plan_th.inv].reshape(
-        n_walks, length, cl
     ).astype(jnp.float32)
+    if clt:
+        plan_th = _plan_routes(prow, n_dev, cap_th)
+        th = _routed_gather(theta_l, plan_th, n_dev, axis_name)[plan_th.inv]
+        th = th.reshape(n_walks, length, clt, dim)
+        pmask_t = pm_all[:, :, n_head:] * plan_th.ok[plan_th.inv].reshape(
+            n_walks, length, clt
+        ).astype(jnp.float32)
+    if n_head:
+        # hot-row replication: local head rows are the first ceil(K/N) mod
+        # positions (row k lives on device k%N at position k//N)
+        kp_local = -(-k_rows // n_dev)
+        gathered = jax.lax.all_gather(
+            jax.lax.slice_in_dim(theta_l, 0, kp_local, axis=0), axis_name
+        )  # [N, kp, D]; logical row j = gathered[j % N, j // N]
+        t_head = gathered.transpose(1, 0, 2).reshape(
+            kp_local * n_dev, dim
+        )[:k_rows]
+        l_head = jnp.einsum(
+            "bld,kd->blk", x_in, t_head, preferred_element_type=jnp.float32
+        )
+        dl_sum = jnp.zeros((n_walks, length, k_rows), jnp.float32)
     sgn = 1.0 - 2.0 * cds
 
     offsets = [d for d in range(-window, window + 1) if d != 0]
@@ -203,63 +236,111 @@ def _row_hs_step(
         return jax.lax.dynamic_slice_in_dim(xp, d + window, length, axis=1)
 
     g_in = jnp.zeros_like(x_in)
-    g_th = jnp.zeros_like(th)
+    g_th = jnp.zeros_like(th) if clt else None
     loss = jnp.float32(0.0)
     n_pairs = jnp.float32(0.0)
     for d in offsets:
-        th_c = shift(th, d)
         sgn_c = shift(sgn, d)
-        pm_c = shift(pmask, d)
         pv = (valid_pos & shift(valid_pos, d) & (abs(d) <= b_sh)).astype(
             jnp.float32
         )
-        logit = jnp.einsum(
-            "bld,blcd->blc", x_in, th_c, preferred_element_type=jnp.float32
-        )
-        m = pv[..., None] * pm_c
-        loss = loss - jnp.sum(_log_sigmoid(sgn_c * logit) * m)
         n_pairs = n_pairs + jnp.sum(pv)
-        g = (jax.nn.sigmoid(logit) - (1.0 + sgn_c) / 2.0) * m
-        g_in = g_in + jnp.einsum(
-            "blc,blcd->bld", g, th_c, preferred_element_type=jnp.float32
-        )
-        g_th = g_th + shift(
-            jnp.einsum("blc,bld->blcd", g, x_in,
-                       preferred_element_type=jnp.float32),
-            -d,
-        )
+
+        if clt:
+            th_c = shift(th, d)
+            pm_c = shift(pmask_t, d)
+            logit = jnp.einsum(
+                "bld,blcd->blc", x_in, th_c,
+                preferred_element_type=jnp.float32,
+            )
+            sgn_t = sgn_c[:, :, n_head:]
+            m = pv[..., None] * pm_c
+            loss = loss - jnp.sum(_log_sigmoid(sgn_t * logit) * m)
+            g = (jax.nn.sigmoid(logit) - (1.0 + sgn_t) / 2.0) * m
+            g_in = g_in + jnp.einsum(
+                "blc,blcd->bld", g, th_c, preferred_element_type=jnp.float32
+            )
+            g_th = g_th + shift(
+                jnp.einsum("blc,bld->blcd", g, x_in,
+                           preferred_element_type=jnp.float32),
+                -d,
+            )
+
+        if n_head:
+            sel = shift(pts[:, :, :n_head], d)
+            pm_h = shift(pm_all[:, :, :n_head], d)
+            dl_levels = []
+            for j in range(n_head):
+                lo, hi = int(head_offsets[j]), int(head_offsets[j + 1])
+                idx = sel[:, :, j] - lo
+                oh = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (n_walks, length, hi - lo), 2
+                    )
+                    == idx[..., None]
+                )
+                lj = jax.lax.slice_in_dim(l_head, lo, hi, axis=2)
+                logit_j = jnp.sum(jnp.where(oh, lj, 0.0), axis=-1)
+                sgn_j = sgn_c[:, :, j]
+                m_j = pv * pm_h[:, :, j]
+                loss = loss - jnp.sum(_log_sigmoid(sgn_j * logit_j) * m_j)
+                g_j = (jax.nn.sigmoid(logit_j) - (1.0 + sgn_j) / 2.0) * m_j
+                dl_levels.append(jnp.where(oh, g_j[..., None], 0.0))
+            dl_sum = dl_sum + jnp.concatenate(dl_levels, axis=2)
 
     n_pairs = jnp.maximum(jax.lax.psum(n_pairs, axis_name), 1.0)
     loss = jax.lax.psum(loss, axis_name) / n_pairs
 
-    # pre-aggregate per unique row (requester side), then route back
+    eps = 1e-12
     row_live = (walks_shard >= 0).reshape(-1).astype(jnp.float32)
-    g_in_flat = g_in.reshape(-1, dim)
-    g_th_flat = g_th.reshape(-1, dim)
-    th_live = (pmask.reshape(-1) > 0).astype(jnp.float32) * jnp.repeat(
-        row_live, cl
-    )
-    sq_in = jnp.mean(g_in_flat * g_in_flat, axis=-1) * row_live
-    sq_th = jnp.mean(g_th_flat * g_th_flat, axis=-1) * th_live
 
+    if n_head:
+        g_in = g_in + jnp.einsum(
+            "blk,kd->bld", dl_sum, t_head, preferred_element_type=jnp.float32
+        )
+        d_head = jax.lax.psum(
+            jnp.einsum("blk,bld->kd", dl_sum, x_in,
+                       preferred_element_type=jnp.float32),
+            axis_name,
+        )  # [K, D] globally aggregated head gradient
+        d_pad = jnp.pad(d_head, ((0, kp_local * n_dev - k_rows), (0, 0)))
+        d_mine = d_pad.reshape(kp_local, n_dev, dim)[:, my]  # my local rows
+        sq_mine = jnp.mean(d_mine * d_mine, axis=-1, keepdims=True)
+        acc_head = jax.lax.slice_in_dim(acc_th_l, 0, kp_local, axis=0) + sq_mine
+        acc_th_l = acc_th_l.at[:kp_local].set(acc_head)
+        theta_l = theta_l.at[:kp_local].add(
+            -lr * d_mine * jax.lax.rsqrt(acc_head + eps)
+        )
+
+    # pre-aggregate per unique row (requester side), then route back
+    g_in_flat = g_in.reshape(-1, dim)
+    sq_in = jnp.mean(g_in_flat * g_in_flat, axis=-1) * row_live
     r_in = plan_in.uniq.shape[0]
     gu_in = jnp.zeros((r_in, dim), jnp.float32).at[plan_in.inv].add(
         g_in_flat * row_live[:, None]
     )
     squ_in = jnp.zeros((r_in,), jnp.float32).at[plan_in.inv].add(sq_in)
-    r_th = plan_th.uniq.shape[0]
-    gu_th = jnp.zeros((r_th, dim), jnp.float32).at[plan_th.inv].add(
-        g_th_flat * th_live[:, None]
-    )
-    squ_th = jnp.zeros((r_th,), jnp.float32).at[plan_th.inv].add(sq_th)
-
     emb_in_l, acc_in_l = _routed_apply(
         emb_in_l, acc_in_l, plan_in, gu_in, squ_in, lr, n_dev, axis_name
     )
-    theta_l, acc_th_l = _routed_apply(
-        theta_l, acc_th_l, plan_th, gu_th, squ_th, lr, n_dev, axis_name
-    )
-    dropped = jax.lax.psum(plan_in.n_dropped + plan_th.n_dropped, axis_name)
+    dropped = plan_in.n_dropped
+
+    if clt:
+        g_th_flat = g_th.reshape(-1, dim)
+        th_live = (pmask_t.reshape(-1) > 0).astype(jnp.float32) * jnp.repeat(
+            row_live, clt
+        )
+        sq_th = jnp.mean(g_th_flat * g_th_flat, axis=-1) * th_live
+        r_th = plan_th.uniq.shape[0]
+        gu_th = jnp.zeros((r_th, dim), jnp.float32).at[plan_th.inv].add(
+            g_th_flat * th_live[:, None]
+        )
+        squ_th = jnp.zeros((r_th,), jnp.float32).at[plan_th.inv].add(sq_th)
+        theta_l, acc_th_l = _routed_apply(
+            theta_l, acc_th_l, plan_th, gu_th, squ_th, lr, n_dev, axis_name
+        )
+        dropped = dropped + plan_th.n_dropped
+    dropped = jax.lax.psum(dropped, axis_name)
     return emb_in_l, theta_l, acc_in_l, acc_th_l, loss, dropped
 
 
@@ -267,6 +348,7 @@ def _row_hs_step(
 def _build_hs_row_epoch(
     mesh: Mesh, dim: int, batch_local: int, n_batches: int, window: int,
     shrink_window: bool, min_lr: float, cap_in: int, cap_th: int,
+    head_offsets: Tuple[int, ...] = (0,),
 ):
     n_dev = int(np.prod([mesh.shape[a] for a in AXES]))
 
@@ -290,6 +372,7 @@ def _build_hs_row_epoch(
                 hs_points, hs_codes, hs_len, vocab_mask,
                 n_dev=n_dev, cap_in=cap_in, cap_th=cap_th, window=window,
                 shrink_window=shrink_window, axis_name=AXES,
+                head_offsets=head_offsets,
             )
             return (emb_in_l, theta_l, acc_in_l, acc_th_l, drop + d), loss
 
@@ -335,23 +418,29 @@ def row_hs_epoch(
     shrink_window: bool,
     min_lr: float,
     cap_slack: float = 2.0,
+    head_offsets: Tuple[int, ...] = (0,),
 ):
     """One epoch of routed row-sharded HS in a single jit dispatch.
 
     Returns (new_state, losses [n_batches], dropped_rows scalar).
+    ``head_offsets`` (hsoftmax.head_level_offsets) replicates the tree-top
+    rows per step instead of routing them — see _row_hs_step.
     """
     n_dev = int(np.prod([mesh.shape[a] for a in AXES]))
     length = corpus.shape[1]
     cl = hs_points.shape[1]
+    n_head = min(len(head_offsets) - 1, cl)
     r_in = batch_local * length
     # theta requests dedup hard (the tree top is shared by every pair), but
-    # capacity must cover the worst case of distinct deep nodes
-    r_th = batch_local * length * cl
+    # capacity must cover the worst case of distinct deep nodes; only the
+    # non-head tail is routed at all
+    r_th = batch_local * length * max(cl - n_head, 1)
     cap_in = max(64, int(-(-r_in * cap_slack // n_dev // 64) * 64))
     cap_th = max(64, int(-(-r_th * cap_slack // n_dev // 64) * 64))
     fn = _build_hs_row_epoch(
         mesh, state.emb_in.shape[1], batch_local, n_batches, window,
         shrink_window, float(min_lr), cap_in, cap_th,
+        tuple(int(x) for x in head_offsets),
     )
     emb_in, theta, acc_in, acc_th, losses, dropped = fn(
         state.emb_in, state.theta, state.acc_in, state.acc_theta,

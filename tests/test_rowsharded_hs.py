@@ -16,7 +16,7 @@ from jax.sharding import Mesh
 from node2vec_tpu.constants import Node2VecParams, Word2VecParams
 from node2vec_tpu.graph import from_edge_arrays
 from node2vec_tpu.models import Word2VecTPU
-from node2vec_tpu.models.hsoftmax import build_huffman
+from node2vec_tpu.models.hsoftmax import build_huffman, head_level_offsets
 from node2vec_tpu.models.vocab import build_vocab
 from node2vec_tpu.parallel.rowsharded_hs import (
     init_hs_row_state,
@@ -75,6 +75,11 @@ def test_hs_row_epoch_trains(mesh):
     hs_len = jnp.asarray(tree.lengths)
     mask = jnp.asarray(vocab.mask)
 
+    # head levels replicated (hot-row replication) — the production config;
+    # max_rows=8 keeps part of the tree routed so BOTH paths are exercised
+    head = head_level_offsets(tree, max_rows=8)
+    assert 1 < len(head) - 1 < hs_points.shape[1]
+
     losses_first = losses_last = None
     total = 5 * n_batches
     for epoch in range(5):
@@ -82,7 +87,7 @@ def test_hs_row_epoch_trains(mesh):
             mesh, state, corpus, jax.random.PRNGKey(7), epoch * n_batches,
             0.05, 0.05 / total, hs_points, hs_codes, hs_len, mask,
             batch_local=batch_local, n_batches=n_batches, window=5,
-            shrink_window=True, min_lr=1e-3,
+            shrink_window=True, min_lr=1e-3, head_offsets=head,
         )
         assert int(dropped) == 0
         if losses_first is None:
