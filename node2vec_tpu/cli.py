@@ -92,6 +92,7 @@ def stage_walk(args) -> None:
         walk_length=args.walk_length,
         return_param=args.p,
         inout_param=args.q,
+        max_rejection_trials=args.max_trials,
     )
     timer = StepTimer()
     t0 = time.time()
@@ -112,6 +113,12 @@ def stage_walk(args) -> None:
         steps / dt if dt > 0 else 0,
         walks_path,
     )
+    if engine.fallback_count:
+        logger.info(
+            "approximate-mode fallbacks: %d of %d steps (%.1f%%) forced past "
+            "the %d-trial cap", engine.fallback_count, steps,
+            100.0 * engine.fallback_count / max(steps, 1), args.max_trials,
+        )
 
 
 def stage_embed(args) -> None:
@@ -235,6 +242,13 @@ def main(argv=None) -> int:
     p_walk.add_argument("-q", type=float, default=1.0, dest="q")
     p_walk.add_argument("--seed", type=int, default=0)
     p_walk.add_argument("--checkpoint", action="store_true")
+    p_walk.add_argument(
+        "--max-trials", type=int, default=64, dest="max_trials",
+        help="p/q rejection-round cap for the blocked/CSR engines (the dense "
+        "engine samples exactly and ignores it); low values (1-2) are the "
+        "approximate fast mode on heavy-tail graphs — forced steps are "
+        "reported",
+    )
 
     p_embed = sub.add_parser("embed", help="train skip-gram embeddings")
     p_embed.add_argument("--workdir", required=True)

@@ -27,12 +27,12 @@ def mesh():
     return Mesh(np.array(jax.devices()[:8]).reshape(8, 1), ("data", "model"))
 
 
-def _single_device_walks(g, starts, gids, seed, wl, p, q):
+def _single_device_walks(g, starts, gids, seed, wl, p, q, max_trials=64):
     bg = build_blocked_graph(g.indptr, g.indices, g.weights)
     paths, _, _ = blocked_walk_chunk(
         bg.light, bg.biw, bg.bids, bg.brp, jnp.asarray(starts), gids,
         jnp.uint32(seed), walk_length=wl, return_param=p, inout_param=q,
-        max_trials=64, light_width=bg.light_width,
+        max_trials=max_trials, light_width=bg.light_width,
         block_width=bg.block_width, has_heavy=bg.has_heavy,
     )
     return np.asarray(paths)
@@ -53,6 +53,27 @@ def test_bitmatch_single_device(mesh, p, q):
         walk_length=12, return_param=p, inout_param=q,
     )
     np.testing.assert_array_equal(ref, np.asarray(ep))
+    assert int(np.asarray(unfin).sum()) == 0
+
+
+def test_bitmatch_approx_mode(mesh):
+    """Approximate mode (trial cap 1): forced acceptances are keyed on the
+    same (seed, gid, attempt) counters, so the edge-partitioned engine must
+    still bit-match the single-device blocked engine."""
+    g = _hub_graph(with_far=True)
+    W = 512
+    starts = np.random.default_rng(2).integers(0, g.n_vertices, W).astype(
+        np.int32
+    )
+    gids = jnp.arange(W, dtype=jnp.int32)
+    ref = _single_device_walks(g, starts, gids, 5, 12, 0.25, 4.0, max_trials=1)
+    pg = partition_blocked_graph(g.indptr, g.indices, g.weights, 8, mesh=mesh)
+    ep, unfin, fb = edge_partitioned_blocked_walk(
+        mesh, pg, jnp.asarray(starts), gids, jnp.uint32(5),
+        walk_length=12, return_param=0.25, inout_param=4.0, max_trials=1,
+    )
+    np.testing.assert_array_equal(ref, np.asarray(ep))
+    assert int(np.asarray(fb).sum()) > 0  # the cap actually bit
     assert int(np.asarray(unfin).sum()) == 0
 
 
