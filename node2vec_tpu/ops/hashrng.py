@@ -18,12 +18,18 @@ per-lane threefry folds.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
-_M1 = jnp.uint32(0x85EBCA6B)
-_M2 = jnp.uint32(0xC2B2AE35)
-_GOLD = jnp.uint32(0x9E3779B9)
-_W1 = jnp.uint32(0x7FEB352D)
+# np (not jnp) scalars: creating jnp values at import time initializes the
+# XLA backend, which breaks jax.distributed.initialize on multi-host runs
+# (it must run before ANY backend-touching call).  uint32 arithmetic with
+# numpy scalar operands stays uint32 under jnp's weak-typing rules.
+_M1 = np.uint32(0x85EBCA6B)
+_M2 = np.uint32(0xC2B2AE35)
+_GOLD = np.uint32(0x9E3779B9)
+_W1 = np.uint32(0x7FEB352D)
 
 
 def fmix32(x: jnp.ndarray) -> jnp.ndarray:

@@ -72,8 +72,11 @@ def initialize_distributed(
     """
     import jax
 
-    if jax.process_count() > 1:
-        return  # already initialized
+    # NOTE: do NOT probe jax.process_count() here — it initializes the
+    # runtime backend, after which jax.distributed.initialize always fails
+    # (and every host would silently run single-process).
+    if jax.distributed.is_initialized():
+        return
     kwargs = {}
     if coordinator_address is not None:
         kwargs.update(
@@ -81,8 +84,11 @@ def initialize_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
+    if coordinator_address is not None:
+        jax.distributed.initialize(**kwargs)  # explicit setup must not fail silently
+        return
     try:
-        jax.distributed.initialize(**kwargs)
+        jax.distributed.initialize()
     except (RuntimeError, ValueError):
-        # single-process environment: nothing to do
+        # no autodetectable cluster: single-process environment
         pass

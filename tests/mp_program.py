@@ -1,0 +1,118 @@
+"""One JAX process of a multi-process CPU mesh — spawned by
+test_multiprocess.py with (process_id, num_processes, port).
+
+This is the multi-host code path run for real: jax.distributed.initialize
+over a TCP coordinator, a global mesh spanning both processes, gloo CPU
+collectives.  On a TPU pod the same calls bring up the DCN mesh — only the
+transport differs (SURVEY.md §2.3).
+
+IMPORTANT: nothing here may touch the XLA backend before
+initialize_distributed (jax.devices(), device_put, any computation) — that
+is exactly the bug class the mesh.initialize_distributed guard regression
+test exists for.
+"""
+
+import sys
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def hub_graph():
+    """Deterministic heavy-tail graph — identical on every process."""
+    from node2vec_tpu.graph import from_edge_arrays
+
+    rng = np.random.default_rng(0)
+    n = 3000
+    src = rng.integers(0, n, 18000)
+    dst = rng.integers(0, n, 18000)
+    src = np.concatenate([src, np.zeros(700, np.int64)])
+    dst = np.concatenate([dst, rng.integers(0, n, 700)])
+    keep = src != dst
+    return from_edge_arrays(
+        src[keep].astype(np.int32), dst[keep].astype(np.int32), directed=False
+    )
+
+
+def main() -> None:
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    from node2vec_tpu.parallel.mesh import initialize_distributed, make_mesh
+
+    initialize_distributed(f"127.0.0.1:{port}", nproc, pid)
+    assert jax.process_count() == nproc, jax.process_count()
+
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from node2vec_tpu.parallel.sharded_walk import sharded_blocked_walk_chunk
+    from node2vec_tpu.walk.blocked import blocked_walk_chunk, build_blocked_graph
+
+    g = hub_graph()
+    bg = build_blocked_graph(g.indptr, g.indices, g.weights)
+    n_dev = jax.device_count()
+    mesh = make_mesh(n_data=n_dev // 2, n_model=2)
+
+    w = 512
+    starts = (np.arange(w) * 37 % g.n_vertices).astype(np.int32)
+    gids = np.arange(w, dtype=np.int32)
+    kw = dict(walk_length=8, return_param=0.25, inout_param=4.0)
+
+    # reference: plain single-device jit on this process's local device
+    ref, _, _ = blocked_walk_chunk(
+        bg.light, bg.biw, bg.bids, bg.brp, jnp.asarray(starts),
+        jnp.asarray(gids), jnp.uint32(11), max_trials=64,
+        light_width=bg.light_width, block_width=bg.block_width,
+        has_heavy=bg.has_heavy, **kw,
+    )
+    ref = np.asarray(ref)
+
+    # cross-process run: walkers sharded over 'data' spanning both processes
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P("data"))
+    paths, _, _ = sharded_blocked_walk_chunk(
+        mesh,
+        jax.device_put(bg.light, rep), jax.device_put(bg.biw, rep),
+        jax.device_put(bg.bids, rep), jax.device_put(bg.brp, rep),
+        jax.device_put(jnp.asarray(starts), shd),
+        jax.device_put(jnp.asarray(gids), shd),
+        jnp.uint32(11), light_width=bg.light_width,
+        block_width=bg.block_width, has_heavy=bg.has_heavy, **kw,
+    )
+    full = multihost_utils.process_allgather(paths, tiled=True)
+    np.testing.assert_array_equal(ref, full)
+    print(f"proc {pid}: WALKS_BITMATCH_OK", flush=True)
+
+    # routed row-sharded SGNS: all-to-all row routing across the process
+    # boundary, one jit dispatch for the epoch
+    from node2vec_tpu.models.vocab import build_vocab
+    from node2vec_tpu.parallel.rowsharded_sgns import (
+        init_row_state,
+        row_sgns_epoch,
+    )
+
+    walks = ref[: (ref.shape[0] // n_dev) * n_dev]
+    vocab = build_vocab(walks, g.n_vertices, min_count=1)
+    state = init_row_state(mesh, g.n_vertices, dim=32, seed=1)
+    corpus = jax.device_put(jnp.asarray(walks), NamedSharding(mesh, P(("data", "model"), None)))
+    batch_local = walks.shape[0] // n_dev
+    losses_seq = []
+    for epoch in range(2):
+        state, losses, dropped = row_sgns_epoch(
+            mesh, state, corpus, jax.random.PRNGKey(3), epoch, 0.05, 1e-4,
+            jnp.asarray(vocab.ns_alias), jnp.asarray(vocab.ns_prob),
+            jnp.asarray(vocab.mask), batch_local=batch_local, n_batches=1,
+            window=3, negatives=5, shared_negatives=64,
+            shrink_window=False, min_lr=1e-4,
+        )
+        assert int(dropped) == 0
+        losses_seq.append(float(losses.mean()))
+    assert losses_seq[1] < losses_seq[0], losses_seq
+    print(f"proc {pid}: ROWSHARDED_SGNS_OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
