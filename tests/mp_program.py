@@ -113,6 +113,51 @@ def main() -> None:
     assert losses_seq[1] < losses_seq[0], losses_seq
     print(f"proc {pid}: ROWSHARDED_SGNS_OK", flush=True)
 
+    # graph-sharded (edge-partitioned) walks: the adjacency itself is
+    # range-sharded over all devices of both processes; every superstep
+    # exchanges walker frontiers through a cross-process all-to-all
+    from node2vec_tpu.parallel.edge_partitioned_blocked import (
+        edge_partitioned_blocked_walk,
+        partition_blocked_graph,
+    )
+
+    pg = partition_blocked_graph(
+        g.indptr, g.indices, g.weights, mesh.shape["data"], mesh=mesh
+    )
+    ep, unfin, _ = edge_partitioned_blocked_walk(
+        mesh, pg, jax.device_put(jnp.asarray(starts), shd),
+        jax.device_put(jnp.asarray(gids), shd), jnp.uint32(11), **kw,
+    )
+    ep_full = multihost_utils.process_allgather(ep, tiled=True)
+    np.testing.assert_array_equal(ref, ep_full)
+    assert int(multihost_utils.process_allgather(unfin, tiled=True).sum()) == 0
+    print(f"proc {pid}: EDGE_PARTITIONED_OK", flush=True)
+
+    # row-sharded HS: Huffman tree-top replicated per step via a
+    # cross-process all-gather, deep levels routed
+    from node2vec_tpu.models.hsoftmax import build_huffman, head_level_offsets
+    from node2vec_tpu.parallel.rowsharded_hs import (
+        init_hs_row_state,
+        row_hs_epoch,
+    )
+
+    tree = build_huffman(vocab.counts)
+    hs_state = init_hs_row_state(mesh, g.n_vertices, tree.n_inner, dim=32)
+    hs_losses = []
+    for epoch in range(2):
+        hs_state, losses, dropped = row_hs_epoch(
+            mesh, hs_state, corpus, jax.random.PRNGKey(5), epoch, 0.05,
+            1e-4, jnp.asarray(tree.points), jnp.asarray(tree.codes),
+            jnp.asarray(tree.lengths), jnp.asarray(vocab.mask),
+            batch_local=batch_local, n_batches=1, window=3,
+            shrink_window=False, min_lr=1e-4,
+            head_offsets=head_level_offsets(tree, max_rows=64),
+        )
+        assert int(dropped) == 0
+        hs_losses.append(float(losses.mean()))
+    assert hs_losses[1] < hs_losses[0], hs_losses
+    print(f"proc {pid}: ROWSHARDED_HS_OK", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -51,3 +51,5 @@ def test_two_process_mesh_walks_and_rowsharded_sgns():
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
         assert "WALKS_BITMATCH_OK" in out, out[-2000:]
         assert "ROWSHARDED_SGNS_OK" in out, out[-2000:]
+        assert "EDGE_PARTITIONED_OK" in out, out[-2000:]
+        assert "ROWSHARDED_HS_OK" in out, out[-2000:]
