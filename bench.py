@@ -182,6 +182,61 @@ def bench_sgns(g, walks: np.ndarray, dim: int, n_steps: int, batch_walks: int):
     return pairs_per_s, roofline
 
 
+def bench_hs(g, walks: np.ndarray, dim: int, n_steps: int, batch_walks: int):
+    """Hierarchical softmax (the reference's DEFAULT objective): pair-updates/s
+    with the level-shared dense head (models/hsoftmax.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from node2vec_tpu.models.hsoftmax import (
+        build_huffman,
+        cap_code_length,
+        head_level_offsets,
+        hs_epoch,
+    )
+    from node2vec_tpu.models.vocab import build_vocab
+
+    vocab = build_vocab(walks, g.n_vertices, min_count=1)
+    tree = cap_code_length(build_huffman(vocab.counts), vocab.counts)
+    head = head_level_offsets(tree)
+    window = 5
+    n_pairs = batch_walks * walks.shape[1] * (window + 1) * n_steps
+
+    def run():
+        emb_in = jax.random.uniform(
+            jax.random.PRNGKey(1), (g.n_vertices, dim), jnp.float32,
+            -0.5 / dim, 0.5 / dim,
+        )
+        theta = jnp.zeros((tree.n_inner, dim), jnp.float32)
+        acc_in = jnp.zeros((g.n_vertices,), jnp.float32)
+        acc_th = jnp.zeros((tree.n_inner,), jnp.float32)
+        out = hs_epoch(
+            emb_in, theta, acc_in, acc_th,
+            jnp.asarray(walks[: batch_walks * n_steps]),
+            jax.random.PRNGKey(7), jnp.int32(0), jnp.float32(0.025),
+            jnp.float32(1e-6), jnp.asarray(tree.points),
+            jnp.asarray(tree.codes), jnp.asarray(tree.lengths),
+            jnp.asarray(vocab.mask), batch=batch_walks, n_batches=n_steps,
+            window=window, shrink_window=True, min_lr=1e-4,
+            head_offsets=head,
+        )
+        return float(out[-1].mean())
+
+    t0 = time.perf_counter()
+    run()
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    loss = run()
+    dt = time.perf_counter() - t0
+    pairs_per_s = n_pairs / dt
+    log(
+        f"hs: dim={dim} CL={tree.points.shape[1]} head_rows={head[-1]} "
+        f"compile={compile_s:.1f}s steady {pairs_per_s:,.0f} pair-updates/s "
+        f"loss={loss:.3f}"
+    )
+    return pairs_per_s
+
+
 def bench_python_reference(g, p: float, q: float, n_samples: int = 2000) -> float:
     """Reference-style per-walker inner loop: per step, build the second-order
     alias table from the destination's neighbor list and draw (randomwalk.py:
@@ -256,6 +311,11 @@ def main() -> None:
         "walk_roofline": walk_roof,
         "sgns_roofline": sgns_roof,
     }
+
+    if os.environ.get("N2V_BENCH_HS", "1") != "0":
+        extras["hs_pair_updates_per_s"] = round(
+            bench_hs(g, paths, dim, n_steps=8, batch_walks=2048)
+        )
 
     # second scale: heavy-tail RMAT through the blocked engine (the regime
     # the reference advertises, README.md:29; round-1 VERDICT weak item 2)
