@@ -160,12 +160,25 @@ class Node2Vec:
             seed=self.random_seed, start_vertices=self.walk_seed_vertices
         )
         if streaming is None:
-            streaming = n_chunks > 1 and self.mesh is None
+            # auto: stream whenever the corpus spans multiple chunks; the
+            # mesh path streams too when the table layout supports it (row)
+            streaming = n_chunks > 1 and (
+                self.mesh is None or self.table_sharding == "row"
+            )
         if streaming and self.mesh is None:
             self.backend.model.fit_streaming(
                 source, n_chunks, self.graph.n_vertices, verbose=verbose
             )
             self.walks = None  # virtual corpus: regenerate via random_walk()
+            return self.backend.model
+        if streaming:
+            # streaming × row-sharded: unbounded corpus AND V beyond one
+            # device's HBM — chunks stay mesh-sharded end to end
+            self.backend.model.fit_streaming_sharded(
+                source, n_chunks, self.mesh, self.graph.n_vertices,
+                table_sharding=self.table_sharding, verbose=verbose,
+            )
+            self.walks = None
             return self.backend.model
         walks_dev = engine.run_device(
             seed=self.random_seed, start_vertices=self.walk_seed_vertices

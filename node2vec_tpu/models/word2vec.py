@@ -386,6 +386,169 @@ class Word2VecTPU:
         self.emb_out = theta
         return self
 
+    def fit_streaming_sharded(
+        self,
+        walk_source,
+        n_chunks: int,
+        mesh,
+        n_vertices: int,
+        table_sharding: str = "row",
+        verbose: bool = False,
+        timer=None,
+    ) -> "Word2VecTPU":
+        """Streaming virtual corpus × row-sharded tables — the unbounded
+        configuration: V bounded only by aggregate mesh HBM (rows
+        mod-sharded, O(batch·D) routed comm) and corpus size bounded by
+        nothing (chunks regenerate on device from the walk seed, chunk k+1
+        dispatching while chunk k trains).
+
+        ``walk_source(i)`` must return mesh-sharded walk chunks
+        (WalkEngine.chunk_source with a mesh-attached engine).  Row mode
+        only: a streamed corpus makes no difference to the column trainer's
+        per-device full-table replica — use fit_sharded for that.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+        from node2vec_tpu.models.vocab import build_vocab_from_counts
+        from node2vec_tpu.parallel.rowsharded_sgns import (
+            AXES,
+            init_row_state,
+            row_sgns_epoch,
+            unshard_rows,
+        )
+
+        if table_sharding != "row":
+            raise ValueError(
+                "streaming sharded training requires table_sharding='row' "
+                "(column mode replicates the full table per data shard — "
+                "materialize the corpus and use fit_sharded instead)"
+            )
+        p = self.params
+        n_dev = int(np.prod([mesh.shape[a] for a in AXES]))
+
+        # pass 1: exact corpus counts on device (chunks stay sharded)
+        counts = jnp.zeros((n_vertices,), jnp.int32)
+        length = None
+        for c in range(n_chunks):
+            w = walk_source(c)
+            length = w.shape[1]
+            flat = w.reshape(-1)
+            counts = counts.at[jnp.where(flat >= 0, flat, 0)].add(
+                (flat >= 0).astype(jnp.int32)
+            )
+        self.vocab = build_vocab_from_counts(
+            np.asarray(counts), min_count=p.min_count, ns_exponent=p.ns_exponent
+        )
+        if self.vocab.n_kept == 0:
+            raise ValueError(f"No vertex meets min_count={p.min_count}")
+
+        rep = NamedSharding(mesh, Pspec())
+        sh_corpus = NamedSharding(mesh, Pspec(AXES, None))
+        mask = jax.device_put(jnp.asarray(self.vocab.mask), rep)
+        use_hs = p.negative == 0
+        if use_hs:
+            from node2vec_tpu.models.hsoftmax import (
+                build_huffman,
+                cap_code_length,
+                head_level_offsets,
+            )
+            from node2vec_tpu.parallel.rowsharded_hs import (
+                init_hs_row_state,
+                row_hs_epoch,
+                unshard_hs_rows,
+            )
+
+            tree = cap_code_length(
+                build_huffman(self.vocab.counts), self.vocab.counts
+            )
+            hs_points = jax.device_put(jnp.asarray(tree.points), rep)
+            hs_codes = jax.device_put(jnp.asarray(tree.codes), rep)
+            hs_len = jax.device_put(jnp.asarray(tree.lengths), rep)
+            hs_head = head_level_offsets(tree)
+            state = init_hs_row_state(
+                mesh, n_vertices, tree.n_inner, p.vector_size, seed=p.seed
+            )
+        else:
+            ns_alias = jax.device_put(jnp.asarray(self.vocab.ns_alias), rep)
+            ns_prob = jax.device_put(jnp.asarray(self.vocab.ns_prob), rep)
+            state = init_row_state(mesh, n_vertices, p.vector_size, seed=p.seed)
+
+        root_key = jax.random.PRNGKey(p.seed)
+        rng = np.random.default_rng(p.seed)
+        self._losses = []
+        step0 = 0
+        lr_slope = None
+        total_dropped = 0
+        for epoch in range(p.max_iter):
+            order = rng.permutation(n_chunks)
+            pending = walk_source(int(order[0]))
+            epoch_losses = []
+            for i in range(n_chunks):
+                nxt = (
+                    walk_source(int(order[i + 1]))
+                    if i + 1 < n_chunks
+                    else None  # prefetch: dispatched before training blocks
+                )
+                corpus = jax.device_put(pending, sh_corpus)
+                n_walks_c = corpus.shape[0]
+                batch_local = max(
+                    min(p.batch_walks, n_walks_c) // n_dev, 1
+                )
+                n_batches = max((n_walks_c // n_dev) // batch_local, 1)
+                if lr_slope is None:
+                    total_steps = max(p.max_iter * n_chunks * n_batches, 1)
+                    lr_slope = p.step_size / total_steps
+                key = jax.random.fold_in(
+                    root_key, 9_000_000 + epoch * n_chunks + i
+                )
+                ctx = (
+                    timer.measure("stream_chunk") if timer is not None else None
+                )
+                if ctx is not None:
+                    ctx.__enter__()
+                if use_hs:
+                    state, losses, dropped = row_hs_epoch(
+                        mesh, state, corpus, key, step0, p.step_size,
+                        lr_slope, hs_points, hs_codes, hs_len, mask,
+                        batch_local=batch_local, n_batches=n_batches,
+                        window=p.window_size, shrink_window=p.shrink_window,
+                        min_lr=p.min_step_size, head_offsets=hs_head,
+                    )
+                else:
+                    state, losses, dropped = row_sgns_epoch(
+                        mesh, state, corpus, key, step0, p.step_size,
+                        lr_slope, ns_alias, ns_prob, mask,
+                        batch_local=batch_local, n_batches=n_batches,
+                        window=p.window_size, negatives=p.negative,
+                        shared_negatives=self.shared_negatives,
+                        shrink_window=p.shrink_window,
+                        min_lr=p.min_step_size,
+                    )
+                if ctx is not None:
+                    ctx.__exit__(None, None, None)
+                total_dropped += int(dropped)
+                step0 += n_batches
+                epoch_losses.append(losses)
+                pending = nxt
+            self._losses.append(
+                float(jnp.mean(jnp.concatenate(epoch_losses)))
+            )
+            if verbose:
+                logger.info(
+                    "streaming row-sharded epoch %d/%d loss=%.4f",
+                    epoch + 1, p.max_iter, self._losses[-1],
+                )
+        if total_dropped:
+            logger.warning(
+                "row-sharded training dropped %d routed rows to capacity "
+                "overflow (raise cap_slack or batch size)", total_dropped,
+            )
+        if use_hs:
+            self.emb_in, self.emb_out = unshard_hs_rows(state, n_dev)
+        else:
+            self.emb_in, self.emb_out = unshard_rows(state, n_dev)
+        return self
+
     def fit_sharded(
         self,
         walks: np.ndarray,

@@ -120,3 +120,48 @@ def test_run_pipeline_streaming_auto():
     assert n2v.walks is None  # streamed: corpus never materialized
     assert np.isfinite(model.vectors).all()
     assert model._losses[-1] < model._losses[0]
+
+
+def _streaming_sharded_pipeline(negative: int):
+    """run_pipeline auto-streams on a mesh with row-sharded tables: chunks
+    stay mesh-sharded from walk generation through the routed trainer."""
+    import jax
+    from jax.sharding import Mesh
+
+    from node2vec_tpu import Node2Vec
+
+    g = _clique_graph()
+    src = np.repeat(np.arange(g.n_vertices), np.diff(g.indptr)).astype(
+        np.int32
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
+    n2v = Node2Vec(
+        n2v_params=Node2VecParams(
+            num_walks=40, walk_length=8, walker_chunk=256
+        ),
+        w2v_params=Word2VecParams(
+            min_count=1, vector_size=32, max_iter=5, step_size=0.05,
+            batch_walks=128, negative=negative,
+        ),
+        mesh=mesh,
+        table_sharding="row",
+    )
+    n2v.preprocess_input_graph((src, g.indices.copy(), g.weights.copy()))
+    model = n2v.run_pipeline()
+    assert n2v.walks is None  # streamed: corpus never materialized
+    assert model._losses[-1] < model._losses[0]
+    emb = model.vectors / np.maximum(
+        np.linalg.norm(model.vectors, axis=1, keepdims=True), 1e-9
+    )
+    sim = emb @ emb.T
+    intra = (sim[:12, :12].sum() - 12) / (12 * 11)
+    inter = sim[:12, 12:].mean()
+    assert intra - inter > 0.2, (intra, inter)
+
+
+def test_run_pipeline_streaming_sharded_sgns():
+    _streaming_sharded_pipeline(negative=5)
+
+
+def test_run_pipeline_streaming_sharded_hs():
+    _streaming_sharded_pipeline(negative=0)
