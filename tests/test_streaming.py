@@ -165,3 +165,43 @@ def test_run_pipeline_streaming_sharded_sgns():
 
 def test_run_pipeline_streaming_sharded_hs():
     _streaming_sharded_pipeline(negative=0)
+
+
+def test_run_pipeline_full_production_config():
+    """The flagship deployment shape, end to end through the public API:
+    adjacency GRAPH-SHARDED across the mesh (edge-partitioned walks),
+    corpus STREAMED (virtual chunks, never materialized), tables
+    ROW-SHARDED (mod-sharded, routed updates)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from node2vec_tpu import Node2Vec
+
+    g = _clique_graph()
+    src = np.repeat(np.arange(g.n_vertices), np.diff(g.indptr)).astype(
+        np.int32
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8, 1), ("data", "model"))
+    n2v = Node2Vec(
+        n2v_params=Node2VecParams(
+            num_walks=40, walk_length=8, walker_chunk=256
+        ),
+        w2v_params=Word2VecParams(
+            min_count=1, vector_size=32, max_iter=5, step_size=0.05,
+            batch_walks=128,
+        ),
+        mesh=mesh,
+        graph_sharded=True,
+        table_sharding="row",
+    )
+    n2v.preprocess_input_graph((src, g.indices.copy(), g.weights.copy()))
+    model = n2v.run_pipeline()
+    assert n2v.walks is None
+    assert model._losses[-1] < model._losses[0]
+    emb = model.vectors / np.maximum(
+        np.linalg.norm(model.vectors, axis=1, keepdims=True), 1e-9
+    )
+    sim = emb @ emb.T
+    intra = (sim[:12, :12].sum() - 12) / (12 * 11)
+    inter = sim[:12, 12:].mean()
+    assert intra - inter > 0.2, (intra, inter)
