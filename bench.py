@@ -200,7 +200,11 @@ def bench_hs(g, walks: np.ndarray, dim: int, n_steps: int, batch_walks: int):
     tree = cap_code_length(build_huffman(vocab.counts), vocab.counts)
     head = head_level_offsets(tree)
     window = 5
-    n_pairs = batch_walks * walks.shape[1] * (window + 1) * n_steps
+    # NOMINAL pairs (2*window per position), the same denominator bench_sgns
+    # uses, so the two throughput figures are directly comparable; with
+    # shrink_window the EXPECTED trained pairs are (window+1) per position
+    # (a fixed 2w/(w+1) = 1.67x ratio at w=5, same for both objectives)
+    n_pairs = batch_walks * walks.shape[1] * 2 * window * n_steps
 
     def run():
         emb_in = jax.random.uniform(

@@ -161,9 +161,22 @@ class Node2Vec:
         )
         if streaming is None:
             # auto: stream whenever the corpus spans multiple chunks; the
-            # mesh path streams too when the table layout supports it (row)
-            streaming = n_chunks > 1 and (
-                self.mesh is None or self.table_sharding == "row"
+            # mesh path streams too when the table layout supports it (row).
+            # A checkpoint_dir disables auto-streaming: the streaming
+            # trainers have no train-state checkpoint support, and silently
+            # dropping requested resumability would be worse than
+            # materializing the corpus.
+            streaming = (
+                n_chunks > 1
+                and self.checkpoint_dir is None
+                and (self.mesh is None or self.table_sharding == "row")
+            )
+        elif streaming and self.checkpoint_dir is not None:
+            logger.warning(
+                "streaming training does not checkpoint train state; "
+                "checkpoint_dir=%r only covers walk chunks via "
+                "random_walk() (pass streaming=False for resumable "
+                "training)", self.checkpoint_dir,
             )
         if streaming and self.mesh is None:
             self.backend.model.fit_streaming(

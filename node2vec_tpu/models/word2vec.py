@@ -187,7 +187,11 @@ class Word2VecTPU:
         from node2vec_tpu.models.vocab import build_vocab_from_counts
 
         p = self.params
-        # pass 1: exact corpus counts, on device, nothing materialized
+        # pass 1: exact corpus counts, on device, nothing materialized.
+        # Device accumulation is int32 (no x64 on TPU); spill to a host
+        # int64 total periodically so hub-vertex counts can't wrap at the
+        # unbounded corpus sizes this path exists for.
+        counts_host = np.zeros((n_vertices,), np.int64)
         counts = jnp.zeros((n_vertices,), jnp.int32)
         length = None
         for c in range(n_chunks):
@@ -197,8 +201,12 @@ class Word2VecTPU:
             counts = counts.at[jnp.where(flat >= 0, flat, 0)].add(
                 (flat >= 0).astype(jnp.int32)
             )
+            if (c + 1) % 256 == 0:
+                counts_host += np.asarray(counts)
+                counts = jnp.zeros((n_vertices,), jnp.int32)
+        counts_host += np.asarray(counts)
         self.vocab = build_vocab_from_counts(
-            np.asarray(counts), min_count=p.min_count, ns_exponent=p.ns_exponent
+            counts_host, min_count=p.min_count, ns_exponent=p.ns_exponent
         )
         if self.vocab.n_kept == 0:
             raise ValueError(f"No vertex meets min_count={p.min_count}")
@@ -426,7 +434,10 @@ class Word2VecTPU:
         p = self.params
         n_dev = int(np.prod([mesh.shape[a] for a in AXES]))
 
-        # pass 1: exact corpus counts on device (chunks stay sharded)
+        # pass 1: exact corpus counts on device (chunks stay sharded);
+        # int32 on device, spilled to a host int64 total every 256 chunks so
+        # hub counts can't wrap at unbounded corpus sizes
+        counts_host = np.zeros((n_vertices,), np.int64)
         counts = jnp.zeros((n_vertices,), jnp.int32)
         length = None
         for c in range(n_chunks):
@@ -436,8 +447,12 @@ class Word2VecTPU:
             counts = counts.at[jnp.where(flat >= 0, flat, 0)].add(
                 (flat >= 0).astype(jnp.int32)
             )
+            if (c + 1) % 256 == 0:
+                counts_host += np.asarray(counts)
+                counts = jnp.zeros((n_vertices,), jnp.int32)
+        counts_host += np.asarray(counts)
         self.vocab = build_vocab_from_counts(
-            np.asarray(counts), min_count=p.min_count, ns_exponent=p.ns_exponent
+            counts_host, min_count=p.min_count, ns_exponent=p.ns_exponent
         )
         if self.vocab.n_kept == 0:
             raise ValueError(f"No vertex meets min_count={p.min_count}")
@@ -489,6 +504,17 @@ class Word2VecTPU:
                     if i + 1 < n_chunks
                     else None  # prefetch: dispatched before training blocks
                 )
+                if pending.shape[0] % n_dev:
+                    # pad to whole device shards with dead (-1) rows — the
+                    # trainers mask them; chunk sizes are constant so this
+                    # compiles once
+                    pad = n_dev - pending.shape[0] % n_dev
+                    pending = jnp.concatenate(
+                        [
+                            pending,
+                            jnp.full((pad, pending.shape[1]), -1, jnp.int32),
+                        ]
+                    )
                 corpus = jax.device_put(pending, sh_corpus)
                 n_walks_c = corpus.shape[0]
                 batch_local = max(

@@ -77,15 +77,13 @@ def initialize_distributed(
     # (and every host would silently run single-process).
     if jax.distributed.is_initialized():
         return
-    kwargs = {}
     if coordinator_address is not None:
-        kwargs.update(
+        # explicit setup must not fail silently
+        jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    if coordinator_address is not None:
-        jax.distributed.initialize(**kwargs)  # explicit setup must not fail silently
         return
     try:
         jax.distributed.initialize()

@@ -98,6 +98,12 @@ def load_walk_chunks(
     return out
 
 
+# Bump when the meaning of a saved table changes. v2: Huffman inner nodes
+# renumbered breadth-first (models/hsoftmax.py level_offsets) — an HS theta
+# saved under v1 would silently map every path to a permuted row.
+TRAIN_STATE_VERSION = 2
+
+
 def save_train_state(
     checkpoint_dir: str,
     epoch: int,
@@ -111,6 +117,7 @@ def save_train_state(
     tmp = path + ".tmp.npz"
     np.savez_compressed(
         tmp,
+        version=np.int64(TRAIN_STATE_VERSION),
         epoch=np.int64(epoch),
         emb_in=emb_in,
         emb_out=emb_out,
@@ -130,6 +137,14 @@ def load_train_state(
     if not os.path.exists(path):
         return None
     z = np.load(path)
+    stored = int(z["version"]) if "version" in z else 1
+    if stored != TRAIN_STATE_VERSION:
+        logger.warning(
+            "train-state checkpoint %s has format version %d (current %d); "
+            "ignoring it and training from scratch", path, stored,
+            TRAIN_STATE_VERSION,
+        )
+        return None
     return (
         int(z["epoch"]),
         z["emb_in"],

@@ -77,6 +77,25 @@ def test_train_state_roundtrip(tmp_path):
     assert load_train_state(str(tmp_path / "nope")) is None
 
 
+def test_train_state_version_guard(tmp_path):
+    """Checkpoints from an older format version (e.g. pre-BFS Huffman
+    renumbering) must be ignored loudly, never silently resumed — the saved
+    theta rows would map to permuted tree nodes."""
+    import numpy as np
+
+    e_in = np.random.default_rng(0).random((5, 8)).astype(np.float32)
+    save_train_state(str(tmp_path), 3, e_in, e_in, e_in[:, 0], e_in[:, 0])
+    path = tmp_path / "train_state.npz"
+    z = dict(np.load(str(path)))
+    z["version"] = np.int64(1)  # forge an old-format checkpoint
+    np.savez_compressed(str(path), **z)
+    assert load_train_state(str(tmp_path)) is None
+    # a versionless (pre-versioning) checkpoint is treated as v1
+    del z["version"]
+    np.savez_compressed(str(path), **z)
+    assert load_train_state(str(tmp_path)) is None
+
+
 def test_trainer_resumes_from_checkpoint(karate_edges, tmp_path):
     src, dst = karate_edges
     g = from_edge_arrays(src, dst, directed=False)

@@ -122,7 +122,7 @@ def test_run_pipeline_streaming_auto():
     assert model._losses[-1] < model._losses[0]
 
 
-def _streaming_sharded_pipeline(negative: int):
+def _streaming_sharded_pipeline(negative: int, walker_chunk: int = 256):
     """run_pipeline auto-streams on a mesh with row-sharded tables: chunks
     stay mesh-sharded from walk generation through the routed trainer."""
     import jax
@@ -137,7 +137,7 @@ def _streaming_sharded_pipeline(negative: int):
     mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
     n2v = Node2Vec(
         n2v_params=Node2VecParams(
-            num_walks=40, walk_length=8, walker_chunk=256
+            num_walks=40, walk_length=8, walker_chunk=walker_chunk
         ),
         w2v_params=Word2VecParams(
             min_count=1, vector_size=32, max_iter=5, step_size=0.05,
@@ -160,7 +160,9 @@ def _streaming_sharded_pipeline(negative: int):
 
 
 def test_run_pipeline_streaming_sharded_sgns():
-    _streaming_sharded_pipeline(negative=5)
+    # walker_chunk 250 is NOT divisible by the 8 devices: exercises the
+    # dead-row padding before resharding to the row trainer's layout
+    _streaming_sharded_pipeline(negative=5, walker_chunk=250)
 
 
 def test_run_pipeline_streaming_sharded_hs():
