@@ -101,6 +101,28 @@ def main() -> None:
     print(f"row-sharded HS:   intra={intra:.3f} inter={inter:.3f} "
           f"(separation {intra - inter:.3f})")
 
+    # 5: the unbounded configuration — graph sharded, corpus STREAMED
+    # (virtual chunks regenerate on device; never materialized), tables
+    # row-sharded.  walker_chunk forces several chunks even at this size.
+    stream = Node2Vec(
+        n2v_params={"num_walks": 10, "walk_length": 20,
+                    "walker_chunk": 4096},
+        w2v_params={"vector_size": 64, "max_iter": 3, "min_count": 1},
+        mesh=mesh,
+        graph_sharded=True,
+        table_sharding="row",
+        random_seed=7,
+    )
+    stream.preprocess_input_graph(edges, indexed=True, directed=False)
+    s_model = stream.run_pipeline(verbose=True)
+    assert stream.walks is None  # virtual corpus: never materialized
+    embs = s_model.vectors
+    embs = embs / np.maximum(np.linalg.norm(embs, axis=1, keepdims=True), 1e-9)
+    intra = (embs[:half] @ embs[:half].T).mean()
+    inter = (embs[:half] @ embs[half:].T).mean()
+    print(f"streaming sharded: intra={intra:.3f} inter={inter:.3f} "
+          f"(separation {intra - inter:.3f})")
+
 
 if __name__ == "__main__":
     sys.exit(main())
