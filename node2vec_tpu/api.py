@@ -206,7 +206,8 @@ class Node2Vec:
             )
         else:
             self.backend.model.fit(
-                walks_dev, n_vertices=self.graph.n_vertices, verbose=verbose
+                walks_dev, n_vertices=self.graph.n_vertices, verbose=verbose,
+                checkpoint_dir=self.checkpoint_dir,
             )
         self.walks = np.asarray(walks_dev)
         return self.backend.model

@@ -157,24 +157,16 @@ class Node2VecTPUEmbedding(Node2VecBase):
         if not model_name.endswith(self.MODEL_SUFFIX):
             model_name += self.MODEL_SUFFIX
         z = np.load(os.path.join(cloud_path, model_name), allow_pickle=True)
-        from node2vec_tpu.models.vocab import Vocabulary, build_vocab  # noqa: F401
+        from node2vec_tpu.models.vocab import build_vocab_from_counts
 
         self.model.emb_in = z["emb_in"]
         self.model.emb_out = z["emb_out"]
-        counts, mask = z["counts"], z["mask"]
-        # rebuild the noise table from saved counts (cheap)
-        from node2vec_tpu.ops.alias import build_alias_csr
-
-        noise = counts.astype(np.float64) ** self.params.ns_exponent
-        noise[~mask] = 0.0
-        if noise.sum() == 0:
-            noise = np.ones(max(len(counts), 1))
-        indptr = np.array([0, len(counts)], dtype=np.int64)
-        ns_alias, ns_prob = build_alias_csr(indptr, noise.astype(np.float32))
-        from node2vec_tpu.models.vocab import Vocabulary
-
-        self.model.vocab = Vocabulary(
-            counts=counts, mask=mask, ns_alias=ns_alias, ns_prob=ns_prob
+        # rebuild the vocabulary (mask + noise alias table) from the saved
+        # counts — one construction path, not a drifting inline copy
+        self.model.vocab = build_vocab_from_counts(
+            z["counts"],
+            min_count=self.params.min_count,
+            ns_exponent=self.params.ns_exponent,
         )
         if len(z["names"]):
             self.name_id = dict(enumerate(z["names"]))

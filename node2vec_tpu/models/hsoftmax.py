@@ -41,7 +41,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from node2vec_tpu.models.skipgram import _log_sigmoid
+from node2vec_tpu.models.skipgram import _log_sigmoid, window_shift
 
 
 class HuffmanTree(NamedTuple):
@@ -240,9 +240,7 @@ def hs_walk_step_impl(
         b_sh = jnp.full((n_walks, length), window, dtype=jnp.int32)
 
     def shift(x, d, fill=0):
-        pad_width = [(0, 0), (window, window)] + [(0, 0)] * (x.ndim - 2)
-        xp = jnp.pad(x, pad_width, constant_values=fill)
-        return jax.lax.dynamic_slice_in_dim(xp, d + window, length, axis=1)
+        return window_shift(x, d, window, length, fill)
 
     g_in = jnp.zeros_like(x_in)
     g_th = jnp.zeros_like(th) if clt else None  # bf16 tail accumulator

@@ -52,6 +52,17 @@ def _log_sigmoid(x: jnp.ndarray) -> jnp.ndarray:
     return -jax.nn.softplus(-x)
 
 
+def window_shift(
+    x: jnp.ndarray, d: int, window: int, length: int, fill=0
+) -> jnp.ndarray:
+    """``x`` shifted by ``d`` along axis 1 (the walk-position axis), zero/
+    ``fill``-padded at the window borders — the positional trainers' shared
+    primitive for pairing each center with its offset-``d`` context."""
+    pad_width = [(0, 0), (window, window)] + [(0, 0)] * (x.ndim - 2)
+    xp = jnp.pad(x, pad_width, constant_values=fill)
+    return jax.lax.dynamic_slice_in_dim(xp, d + window, length, axis=1)
+
+
 def make_pairs(
     walks: jnp.ndarray,
     key: jax.Array,
@@ -228,9 +239,7 @@ def sgns_walk_step_impl(
 
     # zero-padded shifted views: entry i of shift(x, d) is x[i + d]
     def shift(x, d, fill=0):
-        pad_width = [(0, 0), (window, window)] + [(0, 0)] * (x.ndim - 2)
-        xp = jnp.pad(x, pad_width, constant_values=fill)
-        return jax.lax.dynamic_slice_in_dim(xp, d + window, length, axis=1)
+        return window_shift(x, d, window, length, fill)
 
     g_in = jnp.zeros_like(x_in)
     g_out = jnp.zeros_like(x_out)
@@ -369,9 +378,7 @@ def sgns_walk_step_fused_impl(
         b_sh = jnp.full((n_walks, length), window, dtype=jnp.int32)
 
     def shift(x, d, fill=0):
-        pad_width = [(0, 0), (window, window)] + [(0, 0)] * (x.ndim - 2)
-        xp = jnp.pad(x, pad_width, constant_values=fill)
-        return jax.lax.dynamic_slice_in_dim(xp, d + window, length, axis=1)
+        return window_shift(x, d, window, length, fill)
 
     g_in = jnp.zeros_like(x_in)
     g_out = jnp.zeros_like(x_out)

@@ -24,6 +24,28 @@ from node2vec_tpu.models.vocab import Vocabulary, build_vocab
 logger = logging.getLogger(__name__)
 
 
+def _streaming_counts(walk_source, n_chunks: int, n_vertices: int):
+    """Pass-1 exact corpus counts over a virtual corpus, nothing
+    materialized: int32 on device (no x64 on TPU), spilled to a host int64
+    total every 256 chunks so hub-vertex counts can't wrap at unbounded
+    corpus sizes.  Returns (counts[int64], walk length)."""
+    counts_host = np.zeros((n_vertices,), np.int64)
+    counts = jnp.zeros((n_vertices,), jnp.int32)
+    length = None
+    for c in range(n_chunks):
+        w = walk_source(c)
+        length = w.shape[1]
+        flat = w.reshape(-1)
+        counts = counts.at[jnp.where(flat >= 0, flat, 0)].add(
+            (flat >= 0).astype(jnp.int32)
+        )
+        if (c + 1) % 256 == 0:
+            counts_host += np.asarray(counts)
+            counts = jnp.zeros((n_vertices,), jnp.int32)
+    counts_host += np.asarray(counts)
+    return counts_host, length
+
+
 class Word2VecTPU:
     """Skip-gram negative-sampling trainer over walk corpora."""
 
@@ -70,7 +92,11 @@ class Word2VecTPU:
         if p.negative == 0:
             # reference default objective: hierarchical softmax (gensim
             # negative=0, constants.py:65; spark.ml Word2Vec is HS-only)
-            return self._fit_hs(walks, is_device, verbose, timer)
+            return self._fit_hs(
+                walks, is_device, verbose, timer,
+                checkpoint_dir=checkpoint_dir,
+                checkpoint_every=checkpoint_every,
+            )
 
         emb_in, emb_out, acc_in, acc_out = init_embeddings(
             n_v, p.vector_size, seed=p.seed
@@ -187,24 +213,9 @@ class Word2VecTPU:
         from node2vec_tpu.models.vocab import build_vocab_from_counts
 
         p = self.params
-        # pass 1: exact corpus counts, on device, nothing materialized.
-        # Device accumulation is int32 (no x64 on TPU); spill to a host
-        # int64 total periodically so hub-vertex counts can't wrap at the
-        # unbounded corpus sizes this path exists for.
-        counts_host = np.zeros((n_vertices,), np.int64)
-        counts = jnp.zeros((n_vertices,), jnp.int32)
-        length = None
-        for c in range(n_chunks):
-            w = walk_source(c)
-            length = w.shape[1]
-            flat = w.reshape(-1)
-            counts = counts.at[jnp.where(flat >= 0, flat, 0)].add(
-                (flat >= 0).astype(jnp.int32)
-            )
-            if (c + 1) % 256 == 0:
-                counts_host += np.asarray(counts)
-                counts = jnp.zeros((n_vertices,), jnp.int32)
-        counts_host += np.asarray(counts)
+        counts_host, length = _streaming_counts(
+            walk_source, n_chunks, n_vertices
+        )
         self.vocab = build_vocab_from_counts(
             counts_host, min_count=p.min_count, ns_exponent=p.ns_exponent
         )
@@ -315,19 +326,27 @@ class Word2VecTPU:
         self.emb_out = emb_out
         return self
 
-    def _fit_hs(self, walks, is_device, verbose, timer=None) -> "Word2VecTPU":
+    def _fit_hs(
+        self, walks, is_device, verbose, timer=None,
+        checkpoint_dir=None, checkpoint_every=1,
+    ) -> "Word2VecTPU":
         """Hierarchical-softmax training path (params.negative == 0).
 
         Same epoch structure as the SGNS path — device-resident corpus,
-        on-device shuffle, one jit dispatch per epoch — with the Huffman-tree
-        objective of models.hsoftmax.  ``emb_out`` holds the [V-1, D]
-        inner-node vectors (word2vec's syn1).
+        on-device shuffle, one jit dispatch per epoch, per-epoch train-state
+        checkpoint/resume — with the Huffman-tree objective of
+        models.hsoftmax.  ``emb_out`` holds the [V-1, D] inner-node vectors
+        (word2vec's syn1).
         """
         from node2vec_tpu.models.hsoftmax import (
             build_huffman,
             cap_code_length,
             head_level_offsets,
             hs_epoch,
+        )
+        from node2vec_tpu.utils.checkpoint import (
+            load_train_state,
+            save_train_state,
         )
 
         p = self.params
@@ -349,6 +368,15 @@ class Word2VecTPU:
         theta = jnp.zeros((tree.n_inner, p.vector_size), jnp.float32)
         acc_in = jnp.zeros((n_v,), jnp.float32)
         acc_theta = jnp.zeros((tree.n_inner,), jnp.float32)
+        start_epoch = 0
+        ckpt = load_train_state(checkpoint_dir)
+        if ckpt is not None:
+            start_epoch, e_in, th, a_in, a_th = ckpt
+            emb_in = jnp.asarray(e_in)
+            theta = jnp.asarray(th)
+            acc_in = jnp.asarray(a_in)
+            acc_theta = jnp.asarray(a_th)
+            logger.info("resuming HS training from epoch %d", start_epoch)
 
         n_walks = len(walks)
         batch = min(p.batch_walks, n_walks)
@@ -367,7 +395,7 @@ class Word2VecTPU:
 
         lr_slope = p.step_size / total_steps
         self._losses = []
-        for epoch in range(p.max_iter):
+        for epoch in range(start_epoch, p.max_iter):
             k_shuffle = jax.random.fold_in(key, 1_000_000 + epoch)
             shuffled = corpus[jax.random.permutation(k_shuffle, n_padded)]
             ctx = timer.measure("hs_epoch") if timer is not None else None
@@ -389,6 +417,15 @@ class Word2VecTPU:
                 logger.info(
                     "hs epoch %d/%d loss=%.4f", epoch + 1, p.max_iter,
                     self._losses[-1],
+                )
+            if checkpoint_dir and (epoch + 1) % checkpoint_every == 0:
+                save_train_state(
+                    checkpoint_dir,
+                    epoch + 1,
+                    np.asarray(emb_in),
+                    np.asarray(theta),
+                    np.asarray(acc_in),
+                    np.asarray(acc_theta),
                 )
         self.emb_in = emb_in
         self.emb_out = theta
@@ -434,23 +471,10 @@ class Word2VecTPU:
         p = self.params
         n_dev = int(np.prod([mesh.shape[a] for a in AXES]))
 
-        # pass 1: exact corpus counts on device (chunks stay sharded);
-        # int32 on device, spilled to a host int64 total every 256 chunks so
-        # hub counts can't wrap at unbounded corpus sizes
-        counts_host = np.zeros((n_vertices,), np.int64)
-        counts = jnp.zeros((n_vertices,), jnp.int32)
-        length = None
-        for c in range(n_chunks):
-            w = walk_source(c)
-            length = w.shape[1]
-            flat = w.reshape(-1)
-            counts = counts.at[jnp.where(flat >= 0, flat, 0)].add(
-                (flat >= 0).astype(jnp.int32)
-            )
-            if (c + 1) % 256 == 0:
-                counts_host += np.asarray(counts)
-                counts = jnp.zeros((n_vertices,), jnp.int32)
-        counts_host += np.asarray(counts)
+        # pass 1: exact corpus counts (chunks stay mesh-sharded throughout)
+        counts_host, length = _streaming_counts(
+            walk_source, n_chunks, n_vertices
+        )
         self.vocab = build_vocab_from_counts(
             counts_host, min_count=p.min_count, ns_exponent=p.ns_exponent
         )
@@ -515,6 +539,16 @@ class Word2VecTPU:
                             jnp.full((pad, pending.shape[1]), -1, jnp.int32),
                         ]
                     )
+                # stride-interleave rows so each device's contiguous shard
+                # is a stride-n_dev sample of the chunk (walk chunks are
+                # walker-id ordered = a contiguous vertex range; per-shard
+                # on-device shuffles never cross devices)
+                n_c = pending.shape[0]
+                pending = (
+                    pending.reshape(n_c // n_dev, n_dev, -1)
+                    .transpose(1, 0, 2)
+                    .reshape(n_c, -1)
+                )
                 corpus = jax.device_put(pending, sh_corpus)
                 n_walks_c = corpus.shape[0]
                 batch_local = max(
@@ -775,8 +809,13 @@ class Word2VecTPU:
         n_used = n_batches * batch
         corpus_host = np.full((n_used, walks.shape[1]), -1, dtype=np.int32)
         corpus_host[: min(n_walks, n_used)] = walks[:n_used]
-        # interleave rows so each device's contiguous shard is a stratified
-        # sample (shuffling then happens per-shard on device each epoch)
+        # permute rows so each device's contiguous shard is a stratified
+        # sample of the whole corpus — walk corpora are copy-major, so an
+        # unpermuted split gives every device one narrow vertex range for
+        # the entire run (shuffling then happens per-shard on device each
+        # epoch, which never crosses devices)
+        rng = np.random.default_rng(p.seed)
+        corpus_host = corpus_host[rng.permutation(n_used)]
         corpus = jax.device_put(
             jnp.asarray(corpus_host),
             NamedSharding(mesh, Pspec(AXES, None)),
@@ -894,6 +933,9 @@ class Word2VecTPU:
         n_used = n_batches * batch
         corpus_host = np.full((n_used, walks.shape[1]), -1, dtype=np.int32)
         corpus_host[: min(n_walks, n_used)] = walks[:n_used]
+        # stratify rows across data shards (see _fit_row_sharded)
+        rng = np.random.default_rng(p.seed)
+        corpus_host = corpus_host[rng.permutation(n_used)]
         corpus = jax.device_put(
             jnp.asarray(corpus_host),
             NamedSharding(mesh, Pspec(AXES, None)),

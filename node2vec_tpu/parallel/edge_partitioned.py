@@ -161,9 +161,14 @@ def _build_edge_partitioned_walk(
             bw = wts * bias
             total = jnp.sum(bw, axis=1)
             cdf = prefix_sums(bw)
+            # clamp to degree-1 (see walk/dense.py): ulp gaps between the
+            # matmul prefix sums and the separate total reduction can land
+            # r_u*total above cdf[degree-1], selecting a PAD_ID lane — which
+            # would even pass the nxt >= 0 liveness test below
+            degree = jnp.sum((rows != PAD_ID).astype(jnp.int32), axis=1)
             pick = jnp.minimum(
                 jnp.sum((cdf < (r_u * total)[:, None]).astype(jnp.int32), axis=1),
-                p_cols - 1,
+                jnp.maximum(degree - 1, 0),
             )
             nxt = jnp.sum(jnp.where(lane == pick[:, None], rows, 0), axis=1)
             nxt = jnp.where(r_valid & (total > 0), nxt, -1)

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from node2vec_tpu.models.skipgram import _log_sigmoid
+from node2vec_tpu.models.skipgram import _log_sigmoid, window_shift
 from node2vec_tpu.parallel.rowsharded_sgns import (
     AXES,
     _pad_to,
@@ -231,9 +231,7 @@ def _row_hs_step(
         b_sh = jnp.full((n_walks, length), window, dtype=jnp.int32)
 
     def shift(x, d, fill=0):
-        pad_width = [(0, 0), (window, window)] + [(0, 0)] * (x.ndim - 2)
-        xp = jnp.pad(x, pad_width, constant_values=fill)
-        return jax.lax.dynamic_slice_in_dim(xp, d + window, length, axis=1)
+        return window_shift(x, d, window, length, fill)
 
     g_in = jnp.zeros_like(x_in)
     g_th = jnp.zeros_like(th) if clt else None

@@ -25,13 +25,40 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
-def walk_fingerprint(params, seed: int, starts: np.ndarray, n_vertices: int) -> str:
+def graph_digest(indices: np.ndarray, weights: np.ndarray) -> str:
+    """Cheap content digest of a CSR edge set: exact E + weight sum +
+    strided samples of indices/weights (O(1k) work at any graph size)."""
+    h = hashlib.sha256()
+    stride = max(len(indices) // 512, 1)
+    h.update(
+        f"E={len(indices)}|wsum={float(np.sum(weights, dtype=np.float64))}|".encode()
+    )
+    h.update(np.ascontiguousarray(indices[::stride]).tobytes())
+    h.update(np.ascontiguousarray(weights[::stride]).tobytes())
+    return h.hexdigest()[:16]
+
+
+def walk_fingerprint(
+    params,
+    seed: int,
+    starts: np.ndarray,
+    n_vertices: int,
+    graph_token: str = "",
+    strategy: str = "",
+) -> str:
     """Hash of everything that determines walk content, so a checkpoint dir
     reused with a different configuration is detected instead of silently
-    serving stale walks (round-1 advisor finding)."""
+    serving stale walks (round-1 advisor finding).
+
+    ``graph_token`` (from graph_digest) folds in the EDGE CONTENT and
+    ``strategy`` the engine choice: same-V graphs with different edges, or a
+    strategy switch (the CSR fallback keys its RNG differently), must not
+    reuse each other's chunks."""
     h = hashlib.sha256()
     h.update(repr(params).encode())
-    h.update(f"|seed={seed}|V={n_vertices}|".encode())
+    h.update(
+        f"|seed={seed}|V={n_vertices}|g={graph_token}|strategy={strategy}|".encode()
+    )
     h.update(np.ascontiguousarray(starts, dtype=np.int32).tobytes())
     return h.hexdigest()[:32]
 

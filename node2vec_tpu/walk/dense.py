@@ -133,8 +133,14 @@ def dense_walk_chunk_impl(
 
         u = hash_uniform(seed, gidsu, t.astype(jnp.uint32)) * total
         cdf = prefix_sums(bw)
+        # clamp to degree-1, not just p_cols-1: cdf comes from the matmul
+        # prefix sums while total is a separate reduction, so u can land in
+        # the ulp gap above cdf[degree-1] and every zero-weight pad column
+        # (cdf equal there) would count — selecting a PAD_ID lane
+        degree = jnp.sum((rows != PAD_ID).astype(jnp.int32), axis=1)
         idx = jnp.minimum(
-            jnp.sum((cdf < u[:, None]).astype(jnp.int32), axis=1), p_cols - 1
+            jnp.sum((cdf < u[:, None]).astype(jnp.int32), axis=1),
+            jnp.maximum(degree - 1, 0),
         )
         nxt = jnp.sum(
             jnp.where(col_iota == idx[:, None], rows, 0), axis=1

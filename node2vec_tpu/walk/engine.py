@@ -309,8 +309,15 @@ class WalkEngine:
         self.packed_adj = None
         self.bgraph = None
         self.pgraph = None
-        self.fallback_count = 0  # blocked engines: trial-capped ∝w accepts
-        self.attempt_count = 0  # blocked engines: total sampling attempts
+        # blocked engines: trial-capped ∝w accepts / total sampling attempts.
+        # Counter updates are collected as DEVICE scalars and only read back
+        # when the property is accessed — an eager int() here would block the
+        # host on every walk chunk and kill fit_streaming's walk/train
+        # overlap (the kernel must finish before the next chunk dispatches).
+        self._fb_base = 0
+        self._att_base = 0
+        self._fb_parts: list = []
+        self._att_parts: list = []
         self.unfinished_count = 0  # ep_blocked: walkers stopped at the bound
         if isinstance(graph, Graph):
             indptr, indices, weights = graph.indptr, graph.indices, graph.weights
@@ -318,6 +325,11 @@ class WalkEngine:
             indptr = np.asarray(graph.indptr)
             indices = np.asarray(graph.indices)
             weights = np.asarray(graph.weights)
+        from node2vec_tpu.utils.checkpoint import graph_digest
+
+        # checkpoint fingerprints must change when the EDGES change, not
+        # just the vertex count — computed here while host arrays are cheap
+        self.graph_token = graph_digest(indices, weights)
         if strategy == "dense":
             from node2vec_tpu.walk.dense import build_padded_adjacency
 
@@ -341,6 +353,38 @@ class WalkEngine:
                 self.pgraph = partition_blocked_graph(
                     indptr, indices, weights, mesh.shape["data"], mesh=mesh
                 )
+
+    @property
+    def fallback_count(self) -> int:
+        """Trial-capped ∝weight accepts (approximate-mode forced steps).
+        Reading drains any pending device counters (may block)."""
+        if self._fb_parts:
+            self._fb_base += int(
+                sum(int(np.asarray(x).sum()) for x in self._fb_parts)
+            )
+            self._fb_parts = []
+        return self._fb_base
+
+    @fallback_count.setter
+    def fallback_count(self, value: int) -> None:
+        self._fb_parts = []
+        self._fb_base = int(value)
+
+    @property
+    def attempt_count(self) -> int:
+        """Total sampling attempts (blocked engines). Reading drains any
+        pending device counters (may block)."""
+        if self._att_parts:
+            self._att_base += int(
+                sum(int(np.asarray(x).sum()) for x in self._att_parts)
+            )
+            self._att_parts = []
+        return self._att_base
+
+    @attempt_count.setter
+    def attempt_count(self, value: int) -> None:
+        self._att_parts = []
+        self._att_base = int(value)
 
     def _effective_chunk(self, n_total: int) -> int:
         chunk = min(self.params.walker_chunk, max(n_total, 1))
@@ -397,8 +441,8 @@ class WalkEngine:
                 block_width=bg.block_width,
                 has_heavy=bg.has_heavy,
             )
-            self.fallback_count += int(n_fb)
-            self.attempt_count += int(n_att)
+            self._fb_parts.append(n_fb)  # device scalars; drained lazily
+            self._att_parts.append(n_att)
             return paths
         g = self.dgraph
         return walk_chunk(
@@ -449,7 +493,7 @@ class WalkEngine:
         )
         unfin = int(np.asarray(unfinished).sum())
         self.unfinished_count += unfin
-        self.fallback_count += int(np.asarray(n_fb).sum())
+        self._fb_parts.append(n_fb)
         if unfin:
             logger.warning(
                 "edge-partitioned walk: %d walkers unfinished at the "
@@ -513,8 +557,8 @@ class WalkEngine:
                 block_width=bg.block_width,
                 has_heavy=bg.has_heavy,
             )
-            self.fallback_count += int(n_fb.sum())
-            self.attempt_count += int(n_att.sum())
+            self._fb_parts.append(n_fb)  # device arrays; drained lazily
+            self._att_parts.append(n_att)
         else:
             g = self.dgraph
             out = sharded_walk_chunk(
@@ -572,7 +616,10 @@ class WalkEngine:
         n_total = len(starts)
         chunk = self._effective_chunk(n_total)
 
-        fp = walk_fingerprint(p, seed, starts_one, g.n_vertices)
+        fp = walk_fingerprint(
+            p, seed, starts_one, g.n_vertices,
+            graph_token=self.graph_token, strategy=self.strategy,
+        )
         done = load_walk_chunks(checkpoint_dir, fingerprint=fp)
         out = np.empty((n_total, p.walk_length + 1), dtype=np.int32)
         # threefry keys: rbg showed no runtime benefit in the fused walk

@@ -100,16 +100,23 @@ def test_trainer_resumes_from_checkpoint(karate_edges, tmp_path):
     src, dst = karate_edges
     g = from_edge_arrays(src, dst, directed=False)
     walks = random_walks(g, Node2VecParams(num_walks=5, walk_length=8), seed=0)
-    params = Word2VecParams(min_count=1, vector_size=32, max_iter=4, batch_walks=64)
-    ckpt = str(tmp_path / "train")
+    # both objectives checkpoint/resume: SGNS (negative>0) and the
+    # reference-default hierarchical softmax (negative=0)
+    for negative in (5, 0):
+        params = Word2VecParams(
+            min_count=1, vector_size=32, max_iter=4, batch_walks=64,
+            negative=negative,
+        )
+        ckpt = str(tmp_path / f"train_{negative}")
 
-    # full run with checkpoints
-    m_full = Word2VecTPU(params).fit(walks, checkpoint_dir=ckpt)
-    assert load_train_state(ckpt)[0] == 4
+        # full run with checkpoints
+        m_full = Word2VecTPU(params).fit(walks, checkpoint_dir=ckpt)
+        assert load_train_state(ckpt)[0] == 4
 
-    # resume at max_iter: no further epochs, state comes straight from disk
-    m_resumed = Word2VecTPU(params).fit(walks, checkpoint_dir=ckpt)
-    np.testing.assert_allclose(m_resumed.emb_in, m_full.emb_in)
+        # resume at max_iter: no further epochs, state straight from disk
+        m_resumed = Word2VecTPU(params).fit(walks, checkpoint_dir=ckpt)
+        np.testing.assert_allclose(m_resumed.emb_in, m_full.emb_in)
+        np.testing.assert_allclose(m_resumed.emb_out, m_full.emb_out)
 
 
 def test_sharded_checkpoint_resume(tmp_path):
