@@ -36,6 +36,40 @@ def test_mat_loader_roundtrip(tmp_path):
     assert all((b, a_) in keys for a_, b in list(keys)[:50])
 
 
+def test_cli_quality_stage_with_mat_file(tmp_path, capsys):
+    """The documented BlogCatalog command path, end to end on a synthesized
+    .mat: `python -m node2vec_tpu.cli quality --input <path>`."""
+    import json
+    import sys
+
+    from scipy import io as sio
+    from scipy import sparse
+
+    from node2vec_tpu import cli
+
+    g, labels = synthetic_multilabel(n_vertices=300, n_labels=4, seed=0)
+    src = np.repeat(np.arange(g.n_vertices), np.diff(g.indptr))
+    adj = sparse.csr_matrix(
+        (g.weights, (src, g.indices)), shape=(g.n_vertices, g.n_vertices)
+    )
+    path = str(tmp_path / "toy.mat")
+    sio.savemat(path, {"network": adj, "group": sparse.csr_matrix(labels)})
+
+    argv = sys.argv
+    try:
+        sys.argv = [
+            "cli", "quality", "--input", path, "--num-walks", "4",
+            "--walk-length", "10", "--dim", "32", "--epochs", "2",
+            "--train-ratios", "0.5",
+        ]
+        cli.main()
+    finally:
+        sys.argv = argv
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "micro_f1@0.5" in out
+    assert 0.0 <= out["micro_f1@0.5"] <= 1.0
+
+
 def test_mat_loader_rejects_wrong_format(tmp_path):
     from scipy import io as sio
 
