@@ -11,7 +11,9 @@ speedup over the Spark pipeline, since it excludes the reference's per-step
 join/shuffle and JVM<->Python serde costs entirely.
 
 Env knobs: N2V_BENCH_V (vertices), N2V_BENCH_DEG (avg degree),
-N2V_BENCH_WALKS, N2V_BENCH_LEN, N2V_BENCH_DIM, N2V_BENCH_SGNS_STEPS.
+N2V_BENCH_WALKS, N2V_BENCH_LEN, N2V_BENCH_DIM, N2V_BENCH_SGNS_STEPS,
+N2V_BENCH_RMAT[_SCALE] (heavy-tail section), N2V_BENCH_HS (hierarchical
+softmax line), N2V_BENCH_QUALITY (walks->SGNS->F1 gate).
 """
 
 from __future__ import annotations
