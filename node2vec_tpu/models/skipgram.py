@@ -210,6 +210,7 @@ def sgns_walk_step_impl(
     negatives: int,
     shared_negatives: int,
     shrink_window: bool,
+    preagg: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Walk-structured SGNS step — the fast single-device path.
 
@@ -220,6 +221,15 @@ def sgns_walk_step_impl(
     elementwise products, accumulate gradients positionally, and scatter once
     per table.  Negatives are shared per batch and interact with each center
     position weighted by its valid-pair multiplicity.
+
+    ``preagg=True`` switches the Adagrad accumulator semantics from the
+    per-occurrence recipe (each position's sq-mean summed, all occurrences
+    scaled by the post-sum accumulator) to PRE-AGGREGATED: gradients of
+    duplicate vertices are segment-summed first and each vertex takes ONE
+    accumulator increment + update per batch — the same semantics the routed
+    row-sharded trainer and the HS dense head already use (which fixed
+    hot-row oscillation there).  Experimental; measured in
+    experiments/sgns_preagg_quality.py.
     """
     n_vertices = emb_in.shape[0]
     n_walks, length = walks.shape
@@ -287,6 +297,44 @@ def sgns_walk_step_impl(
     rows = walks_safe.reshape(-1)
     row_valid = (walks >= 0).reshape(-1).astype(jnp.float32)
     g_out_flat = g_out.reshape(-1, dim)
+    if preagg:
+        # segment-sum duplicate vertices' gradients before ONE Adagrad
+        # increment + update per vertex per batch (sort + fixed-shape
+        # segment ids; empty segments' heads are INT32_MAX and drop)
+        n_rows = rows.shape[0]
+        order = jnp.argsort(rows)
+        r_s = rows[order]
+        is_first = jnp.concatenate(
+            [jnp.ones((1,), bool), r_s[1:] != r_s[:-1]]
+        )
+        seg = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # [N] segment ids
+        head_v = jax.ops.segment_min(r_s, seg, num_segments=n_rows)
+
+        def agg(g_flat):
+            g_sorted = (g_flat * row_valid[:, None])[order]
+            return jax.ops.segment_sum(g_sorted, seg, num_segments=n_rows)
+
+        ga_in = agg(g_in_flat)  # [N, D]; row s = segment s's summed gradient
+        ga_out = agg(g_out_flat)
+        acc_in = acc_in.at[head_v].add(
+            jnp.mean(ga_in * ga_in, axis=-1), mode="drop"
+        )
+        acc_out = acc_out.at[head_v].add(
+            jnp.mean(ga_out * ga_out, axis=-1), mode="drop"
+        )
+        acc_out = acc_out.at[neg_ids].add(jnp.mean(d_no * d_no, axis=-1))
+        head_safe = jnp.minimum(head_v, n_vertices - 1)
+        scale_in_a = jax.lax.rsqrt(acc_in[head_safe] + eps)
+        scale_out_a = jax.lax.rsqrt(acc_out[head_safe] + eps)
+        scale_no = jax.lax.rsqrt(acc_out[neg_ids] + eps)
+        emb_in = emb_in.at[head_v].add(
+            -lr * ga_in * scale_in_a[:, None], mode="drop"
+        )
+        emb_out = emb_out.at[head_v].add(
+            -lr * ga_out * scale_out_a[:, None], mode="drop"
+        )
+        emb_out = emb_out.at[neg_ids].add(-lr * d_no * scale_no[:, None])
+        return emb_in, emb_out, acc_in, acc_out, loss
     sq_in = jnp.mean(g_in_flat * g_in_flat, axis=-1) * row_valid
     sq_out = jnp.mean(g_out_flat * g_out_flat, axis=-1) * row_valid
     sq_no = jnp.mean(d_no * d_no, axis=-1)
@@ -305,7 +353,9 @@ def sgns_walk_step_impl(
 
 sgns_walk_step = functools.partial(
     jax.jit,
-    static_argnames=("window", "negatives", "shared_negatives", "shrink_window"),
+    static_argnames=(
+        "window", "negatives", "shared_negatives", "shrink_window", "preagg",
+    ),
     donate_argnames=("emb_in", "emb_out", "acc_in", "acc_out"),
 )(sgns_walk_step_impl)
 
