@@ -29,6 +29,8 @@ def _streaming_counts(walk_source, n_chunks: int, n_vertices: int):
     materialized: int32 on device (no x64 on TPU), spilled to a host int64
     total every 256 chunks so hub-vertex counts can't wrap at unbounded
     corpus sizes.  Returns (counts[int64], walk length)."""
+    from node2vec_tpu.parallel.rowsharded_sgns import host_copy
+
     counts_host = np.zeros((n_vertices,), np.int64)
     counts = jnp.zeros((n_vertices,), jnp.int32)
     length = None
@@ -40,9 +42,9 @@ def _streaming_counts(walk_source, n_chunks: int, n_vertices: int):
             (flat >= 0).astype(jnp.int32)
         )
         if (c + 1) % 256 == 0:
-            counts_host += np.asarray(counts)
+            counts_host += host_copy(counts)
             counts = jnp.zeros((n_vertices,), jnp.int32)
-    counts_host += np.asarray(counts)
+    counts_host += host_copy(counts)
     return counts_host, length
 
 

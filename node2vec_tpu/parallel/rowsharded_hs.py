@@ -43,6 +43,7 @@ from jax import shard_map
 from node2vec_tpu.models.skipgram import _log_sigmoid, window_shift
 from node2vec_tpu.parallel.rowsharded_sgns import (
     AXES,
+    host_copy,
     _pad_to,
     _plan_routes,
     _routed_apply,
@@ -98,7 +99,7 @@ def unshard_hs_rows(
     def undo(arr, n_keep):
         n_pad = arr.shape[0]
         inv = np.arange(n_pad).reshape(n_devices, n_pad // n_devices).T.reshape(-1)
-        return np.asarray(arr)[inv][:n_keep]
+        return host_copy(arr)[inv][:n_keep]
 
     return undo(state.emb_in, state.n_vertices), undo(state.theta, state.n_inner)
 
@@ -111,7 +112,7 @@ def hs_state_to_host(
     def undo(arr, n_keep):
         n_pad = arr.shape[0]
         inv = np.arange(n_pad).reshape(n_devices, n_pad // n_devices).T.reshape(-1)
-        return np.asarray(arr)[inv][:n_keep]
+        return host_copy(arr)[inv][:n_keep]
 
     return (
         undo(state.emb_in, state.n_vertices),

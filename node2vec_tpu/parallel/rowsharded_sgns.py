@@ -54,6 +54,17 @@ class RowShardedState(NamedTuple):
     n_vertices: int  # unpadded V
 
 
+def host_copy(arr) -> np.ndarray:
+    """np.asarray that also works for arrays spanning multiple PROCESSES
+    (multi-host meshes): falls back to a tiled process_allgather."""
+    try:
+        return np.asarray(arr)
+    except RuntimeError:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+
 def _pad_to(n: int, mult: int) -> int:
     return -(-n // mult) * mult
 
@@ -92,8 +103,8 @@ def unshard_rows(state: RowShardedState, n_devices: int) -> Tuple[np.ndarray, np
     """Logical [V, D] tables from the interleaved layout."""
     v_pad = state.emb_in.shape[0]
     inv = np.arange(v_pad).reshape(n_devices, v_pad // n_devices).T.reshape(-1)
-    emb_in = np.asarray(state.emb_in)[inv][: state.n_vertices]
-    emb_out = np.asarray(state.emb_out)[inv][: state.n_vertices]
+    emb_in = host_copy(state.emb_in)[inv][: state.n_vertices]
+    emb_out = host_copy(state.emb_out)[inv][: state.n_vertices]
     return emb_in, emb_out
 
 
@@ -106,10 +117,10 @@ def row_state_to_host(
     inv = np.arange(v_pad).reshape(n_devices, v_pad // n_devices).T.reshape(-1)
     n = state.n_vertices
     return (
-        np.asarray(state.emb_in)[inv][:n],
-        np.asarray(state.emb_out)[inv][:n],
-        np.asarray(state.acc_in)[inv][:n, 0],
-        np.asarray(state.acc_out)[inv][:n, 0],
+        host_copy(state.emb_in)[inv][:n],
+        host_copy(state.emb_out)[inv][:n],
+        host_copy(state.acc_in)[inv][:n, 0],
+        host_copy(state.acc_out)[inv][:n, 0],
     )
 
 

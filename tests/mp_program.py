@@ -158,6 +158,35 @@ def main() -> None:
     assert hs_losses[1] < hs_losses[0], hs_losses
     print(f"proc {pid}: ROWSHARDED_HS_OK", flush=True)
 
+    # streaming x row-sharded: virtual chunks generated mesh-sharded over
+    # 'data', resharded cross-process to the row trainer's all-device layout
+    from node2vec_tpu.models.word2vec import Word2VecTPU
+    from node2vec_tpu.constants import Word2VecParams
+
+    def chunk_src(i):
+        lo = (i * w) % g.n_vertices
+        starts_c = (lo + np.arange(w)) % g.n_vertices
+        gids_c = i * w + np.arange(w)
+        paths_c, _, _ = sharded_blocked_walk_chunk(
+            mesh,
+            jax.device_put(bg.light, rep), jax.device_put(bg.biw, rep),
+            jax.device_put(bg.bids, rep), jax.device_put(bg.brp, rep),
+            jax.device_put(jnp.asarray(starts_c.astype(np.int32)), shd),
+            jax.device_put(jnp.asarray(gids_c.astype(np.int32)), shd),
+            jnp.uint32(21), light_width=bg.light_width,
+            block_width=bg.block_width, has_heavy=bg.has_heavy, **kw,
+        )
+        return paths_c
+
+    m = Word2VecTPU(
+        Word2VecParams(
+            min_count=1, vector_size=32, max_iter=2, batch_walks=128,
+            step_size=0.05,
+        )
+    ).fit_streaming_sharded(chunk_src, 3, mesh, g.n_vertices)
+    assert m._losses[-1] < m._losses[0], m._losses
+    print(f"proc {pid}: STREAMING_SHARDED_OK", flush=True)
+
 
 if __name__ == "__main__":
     main()

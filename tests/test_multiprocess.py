@@ -53,3 +53,4 @@ def test_two_process_mesh_walks_and_rowsharded_sgns():
         assert "ROWSHARDED_SGNS_OK" in out, out[-2000:]
         assert "EDGE_PARTITIONED_OK" in out, out[-2000:]
         assert "ROWSHARDED_HS_OK" in out, out[-2000:]
+        assert "STREAMING_SHARDED_OK" in out, out[-2000:]
