@@ -15,7 +15,9 @@ import time
 import numpy as np
 
 
-def rmat_edges(n_vertices_log2: int, n_edges: int, seed: int = 0) -> np.ndarray:
+def rmat_edges(
+    n_vertices_log2: int, n_edges: int, seed: int = 0
+) -> "tuple[np.ndarray, np.ndarray]":
     """RMAT generator (a=0.57, b=c=0.19): power-law degree distribution."""
     rng = np.random.default_rng(seed)
     src = np.zeros(n_edges, dtype=np.int64)

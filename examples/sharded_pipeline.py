@@ -27,12 +27,14 @@ def main() -> None:
     import jax
 
     if jax.device_count() < 2:
-        # sharding wants >1 device; re-run on the virtual CPU mesh
+        # sharding wants >1 device; a 1x1 mesh would run but exercise none
+        # of the cross-device routing this tour exists to demonstrate
         print(
-            "single device detected - run with JAX_PLATFORMS=cpu "
+            "single device detected - re-run with JAX_PLATFORMS=cpu "
             "XLA_FLAGS=--xla_force_host_platform_device_count=8 for the "
             "sharded tour"
         )
+        return 1
 
     from node2vec_tpu import Node2Vec
     from node2vec_tpu.parallel.mesh import make_mesh

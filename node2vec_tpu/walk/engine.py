@@ -281,6 +281,7 @@ class WalkEngine:
         mesh=None,
         graph_sharded: bool = False,
         partitioned_graph=None,
+        blocked_graph=None,
     ):
         """``graph_sharded=True`` (requires ``mesh``): the adjacency itself is
         range-partitioned across the mesh's 'data' axis (each device holds
@@ -288,6 +289,11 @@ class WalkEngine:
         all-to-all — the layout for graphs beyond one device's HBM
         (parallel.edge_partitioned_blocked).  Without it the graph is
         replicated per device and only walkers are sharded.
+
+        ``blocked_graph`` / ``partitioned_graph``: prebuilt device tables to
+        reuse across engines over the same graph (host packing + upload of a
+        multi-million-edge graph costs seconds; p/q/trial params live in the
+        kernels, not the tables).
         """
         self.params = params
         self.mesh = mesh  # optional jax Mesh: chunks run sharded over 'data'
@@ -337,9 +343,12 @@ class WalkEngine:
                 build_padded_adjacency(indptr, indices, weights)
             )
         elif strategy == "blocked":
-            from node2vec_tpu.walk.blocked import build_blocked_graph
+            if blocked_graph is not None:
+                self.bgraph = blocked_graph
+            else:
+                from node2vec_tpu.walk.blocked import build_blocked_graph
 
-            self.bgraph = build_blocked_graph(indptr, indices, weights)
+                self.bgraph = build_blocked_graph(indptr, indices, weights)
         elif strategy == "ep_blocked":
             if partitioned_graph is not None:
                 # pre-packed shards (load_partitioned_graph) — per-host
