@@ -291,6 +291,20 @@ def test_fallback_counting():
     assert e.fallback_count > 0
 
 
+def test_prebuilt_blocked_graph_reuse():
+    """WalkEngine(blocked_graph=...) reuses prebuilt tables (bench packs
+    once for four param configs) and walks bit-match a fresh build."""
+    g = _hub_graph()
+    bg = build_blocked_graph(g.indptr, g.indices, g.weights)
+    kw = dict(num_walks=2, walk_length=5, return_param=0.5, inout_param=2.0)
+    e1 = WalkEngine(g, Node2VecParams(**kw), strategy="blocked",
+                    blocked_graph=bg)
+    assert e1.bgraph is bg  # no rebuild
+    w1 = e1.run(seed=3)
+    w2 = WalkEngine(g, Node2VecParams(**kw), strategy="blocked").run(seed=3)
+    np.testing.assert_array_equal(w1, w2)
+
+
 def test_approx_mode_valid_edges_and_chunk_invariant():
     """Approximate mode (cap=1): forced acceptances still traverse real
     edges (the proposal is an exact ∝w draw), and the counter-keyed RNG
