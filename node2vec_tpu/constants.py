@@ -171,12 +171,22 @@ class Word2VecParams:
     max_iter: int = 10  # epochs over the walk corpus
     window_size: int = 5
     vector_size: int = 128
-    negative: int = 5  # negatives per positive pair (SGNS)
+    negative: int = 5  # negatives per positive pair (SGNS); 0 = hierarchical softmax
     batch_walks: int = 8192  # walks per device batch
     min_step_size: float = 1e-4  # floor of the linear LR decay (gensim min_alpha)
     shrink_window: bool = True  # gensim-style random window shrinking
     ns_exponent: float = 0.75  # unigram distortion for negative table
     seed: int = 1
+    # gensim-passthrough surface (the reference forwards user params straight
+    # into gensim.models.Word2Vec, embedding.py:105-126, so these are part of
+    # its reachable config space):
+    # sg=1 skip-gram (spark.ml / the node2vec paper; our default), sg=0 CBOW
+    # (gensim's own default architecture — models/cbow.py)
+    sg: int = 1
+    # frequent-vertex subsampling threshold (gensim "sample", default 1e-3
+    # THERE; 0 here = off, matching spark.ml which has no subsampling)
+    sample: float = 0.0
+    cbow_mean: bool = True  # CBOW hidden = mean (gensim default) vs sum
 
     def __post_init__(self) -> None:
         if not 5 <= self.window_size <= 30:
@@ -187,6 +197,10 @@ class Word2VecParams:
             raise ValueError(
                 f"Inappropriate vector dimension {self.vector_size}, it must be in [32, 1024]!"
             )
+        if self.sg not in (0, 1):
+            raise ValueError(f"sg must be 0 (CBOW) or 1 (skip-gram), got {self.sg}")
+        if self.sample < 0:
+            raise ValueError(f"sample must be >= 0, got {self.sample}")
 
     @classmethod
     def from_dict(cls, d: Optional[Mapping[str, Any]]) -> "Word2VecParams":

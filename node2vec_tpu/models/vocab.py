@@ -59,6 +59,35 @@ def build_vocab_from_counts(
     )
 
 
+def subsample_keep_prob(
+    counts: np.ndarray, sample: float, mask: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """Per-vertex keep probability for frequent-vertex subsampling.
+
+    gensim semantics (``Word2Vec(sample=...)``, active by default at 1e-3 in
+    the reference's gensim backend since params pass straight through,
+    ``/root/reference/node2vec/embedding.py:105-126``): with
+    ``threshold = sample * retained_total`` (or an absolute count when
+    ``sample >= 1``, gensim's other convention),
+
+        p_keep(v) = min(1, (sqrt(count_v / threshold) + 1) * threshold / count_v)
+
+    Occurrences are then kept i.i.d. with p_keep at training time (the
+    trainers mask discarded positions in place; gensim removes them before
+    windowing — the same documented divergence as min_count, docs/parity.md).
+    """
+    counts = np.asarray(counts, dtype=np.float64)
+    retained = counts if mask is None else np.where(mask, counts, 0.0)
+    total = retained.sum()
+    if sample <= 0 or total <= 0:
+        return np.ones(len(counts), dtype=np.float32)
+    threshold = sample * total if sample < 1.0 else float(sample)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = (np.sqrt(counts / threshold) + 1.0) * threshold / counts
+    p = np.where(counts > 0, p, 1.0)
+    return np.minimum(p, 1.0).astype(np.float32)
+
+
 def build_vocab(
     walks: np.ndarray,
     n_vertices: Optional[int] = None,

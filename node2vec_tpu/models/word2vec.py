@@ -19,9 +19,27 @@ import jax.numpy as jnp
 
 from node2vec_tpu.constants import Word2VecParams
 from node2vec_tpu.models.skipgram import init_embeddings, sgns_epoch
-from node2vec_tpu.models.vocab import Vocabulary, build_vocab
+from node2vec_tpu.models.vocab import (
+    Vocabulary,
+    build_vocab,
+    subsample_keep_prob,
+)
 
 logger = logging.getLogger(__name__)
+
+
+@jax.jit
+def _subsample_walks(walks, key, keep_prob):
+    """Frequent-vertex subsampling as a corpus transform: each occurrence is
+    kept i.i.d. with ``keep_prob[vertex]`` (models/vocab.py
+    subsample_keep_prob); discarded positions become -1, which every trainer
+    already masks.  Applied per epoch (gensim redraws each pass) OUTSIDE the
+    epoch scan, so no step kernel changes; elementwise + one replicated-table
+    gather, so it shards along with the corpus on a mesh."""
+    safe = jnp.where(walks >= 0, walks, 0)
+    u = jax.random.uniform(key, walks.shape)
+    keep = (walks < 0) | (u < keep_prob[safe])
+    return jnp.where(keep, walks, -1)
 
 
 def _streaming_counts(walk_source, n_chunks: int, n_vertices: int):
@@ -63,6 +81,17 @@ class Word2VecTPU:
         self._emb_out = None
         self._losses: list = []
 
+    def _keep_table(self):
+        """[V] keep-probability table for ``params.sample`` subsampling, or
+        None when disabled (must be called after the vocab is built)."""
+        if self.params.sample <= 0:
+            return None
+        return jnp.asarray(
+            subsample_keep_prob(
+                self.vocab.counts, self.params.sample, self.vocab.mask
+            )
+        )
+
     def fit(
         self,
         walks: np.ndarray,
@@ -90,6 +119,14 @@ class Word2VecTPU:
         if self.vocab.n_kept == 0:
             raise ValueError(
                 f"No vertex meets min_count={p.min_count}; corpus too small"
+            )
+        if p.sg == 0:
+            # CBOW architecture (gensim sg=0, its default; models/cbow.py)
+            # — handles both negative>0 (NS) and negative==0 (HS) variants
+            return self._fit_cbow(
+                walks, is_device, verbose, timer,
+                checkpoint_dir=checkpoint_dir,
+                checkpoint_every=checkpoint_every,
             )
         if p.negative == 0:
             # reference default objective: hierarchical softmax (gensim
@@ -140,10 +177,15 @@ class Word2VecTPU:
         # one jit dispatch per EPOCH: shuffle on device, then lax.scan over
         # all batches with on-device linear LR decay
         lr_slope = p.step_size / total_steps
+        keep = self._keep_table()
         self._losses = []
         for epoch in range(start_epoch, p.max_iter):
             k_shuffle = jax.random.fold_in(root_key, 1_000_000 + epoch)
             shuffled = corpus[jax.random.permutation(k_shuffle, n_padded)]
+            if keep is not None:  # gensim-style subsampling, redrawn per epoch
+                shuffled = _subsample_walks(
+                    shuffled, jax.random.fold_in(root_key, 2_000_000 + epoch), keep
+                )
             ctx = timer.measure("sgns_epoch") if timer is not None else None
             if ctx is not None:
                 ctx.__enter__()
@@ -226,8 +268,12 @@ class Word2VecTPU:
         ns_alias = jnp.asarray(self.vocab.ns_alias)
         ns_prob = jnp.asarray(self.vocab.ns_prob)
         vocab_mask = jnp.asarray(self.vocab.mask)
+        keep = self._keep_table()
 
         use_hs = p.negative == 0  # reference default objective (HS)
+        use_cbow = p.sg == 0  # gensim's default architecture (models/cbow.py)
+        if use_cbow:
+            from node2vec_tpu.models.cbow import cbow_epoch, cbow_hs_epoch
         emb_in, emb_out, acc_in, acc_out = init_embeddings(
             n_vertices, p.vector_size, seed=p.seed
         )
@@ -283,12 +329,32 @@ class Word2VecTPU:
                 shuffled = corpus[
                     jax.random.permutation(k_sh, n_walks_c)
                 ][: n_batches * batch]
+                if keep is not None:
+                    shuffled = _subsample_walks(
+                        shuffled,
+                        jax.random.fold_in(
+                            root_key, 8_000_000 + epoch * n_chunks + i
+                        ),
+                        keep,
+                    )
                 ctx = (
                     timer.measure("stream_chunk") if timer is not None else None
                 )
                 if ctx is not None:
                     ctx.__enter__()
-                if use_hs:
+                if use_hs and use_cbow:
+                    emb_in, emb_out, acc_in, acc_out, losses = cbow_hs_epoch(
+                        emb_in, emb_out, acc_in, acc_out, shuffled, root_key,
+                        jnp.int32(step0), jnp.float32(p.step_size),
+                        jnp.float32(lr_slope), hs_points, hs_codes, hs_len,
+                        vocab_mask,
+                        batch=batch, n_batches=n_batches,
+                        window=p.window_size,
+                        shrink_window=p.shrink_window,
+                        min_lr=p.min_step_size,
+                        cbow_mean=p.cbow_mean,
+                    )
+                elif use_hs:
                     emb_in, emb_out, acc_in, acc_out, losses = hs_epoch(
                         emb_in, emb_out, acc_in, acc_out, shuffled, root_key,
                         jnp.int32(step0), jnp.float32(p.step_size),
@@ -299,6 +365,18 @@ class Word2VecTPU:
                         shrink_window=p.shrink_window,
                         min_lr=p.min_step_size,
                         head_offsets=hs_head,
+                    )
+                elif use_cbow:
+                    emb_in, emb_out, acc_in, acc_out, losses = cbow_epoch(
+                        emb_in, emb_out, acc_in, acc_out, shuffled, root_key,
+                        jnp.int32(step0), jnp.float32(p.step_size),
+                        jnp.float32(lr_slope), ns_alias, ns_prob, vocab_mask,
+                        batch=batch, n_batches=n_batches,
+                        window=p.window_size,
+                        negatives=p.negative,
+                        shared_negatives=self.shared_negatives,
+                        shrink_window=p.shrink_window, min_lr=p.min_step_size,
+                        cbow_mean=p.cbow_mean,
                     )
                 else:
                     emb_in, emb_out, acc_in, acc_out, losses = sgns_epoch(
@@ -396,10 +474,15 @@ class Word2VecTPU:
             corpus = jnp.asarray(corpus_host)
 
         lr_slope = p.step_size / total_steps
+        keep = self._keep_table()
         self._losses = []
         for epoch in range(start_epoch, p.max_iter):
             k_shuffle = jax.random.fold_in(key, 1_000_000 + epoch)
             shuffled = corpus[jax.random.permutation(k_shuffle, n_padded)]
+            if keep is not None:
+                shuffled = _subsample_walks(
+                    shuffled, jax.random.fold_in(key, 2_000_000 + epoch), keep
+                )
             ctx = timer.measure("hs_epoch") if timer is not None else None
             if ctx is not None:
                 ctx.__enter__()
@@ -433,6 +516,133 @@ class Word2VecTPU:
         self.emb_out = theta
         return self
 
+    def _fit_cbow(
+        self, walks, is_device, verbose, timer=None,
+        checkpoint_dir=None, checkpoint_every=1,
+    ) -> "Word2VecTPU":
+        """CBOW training path (params.sg == 0; models/cbow.py).
+
+        Covers both variants of the architecture: ``negative>0`` trains
+        CBOW with shared negative sampling, ``negative==0`` CBOW with
+        hierarchical softmax (the gensim default combination is sg=0 +
+        negative per its own defaults).  Epoch structure mirrors the SGNS/HS
+        paths: device-resident corpus, on-device shuffle (+ optional
+        ``sample`` subsampling), one jit dispatch per epoch, per-epoch
+        checkpoint/resume.
+        """
+        from node2vec_tpu.models.cbow import cbow_epoch, cbow_hs_epoch
+        from node2vec_tpu.utils.checkpoint import (
+            load_train_state,
+            save_train_state,
+        )
+
+        p = self.params
+        n_v = self.vocab.n_vertices
+        use_hs = p.negative == 0
+        vocab_mask = jnp.asarray(self.vocab.mask)
+        emb_in, emb_out, acc_in, acc_out = init_embeddings(
+            n_v, p.vector_size, seed=p.seed
+        )
+        if use_hs:
+            from node2vec_tpu.models.hsoftmax import (
+                build_huffman,
+                cap_code_length,
+            )
+
+            tree = cap_code_length(
+                build_huffman(self.vocab.counts), self.vocab.counts
+            )
+            hs_points = jnp.asarray(tree.points)
+            hs_codes = jnp.asarray(tree.codes)
+            hs_len = jnp.asarray(tree.lengths)
+            # emb_out/acc_out slots carry the inner-node table (syn1)
+            emb_out = jnp.zeros((tree.n_inner, p.vector_size), jnp.float32)
+            acc_out = jnp.zeros((tree.n_inner,), jnp.float32)
+        else:
+            ns_alias = jnp.asarray(self.vocab.ns_alias)
+            ns_prob = jnp.asarray(self.vocab.ns_prob)
+
+        start_epoch = 0
+        ckpt = load_train_state(checkpoint_dir)
+        if ckpt is not None:
+            start_epoch, e_in, e_out, a_in, a_out = ckpt
+            emb_in = jnp.asarray(e_in)
+            emb_out = jnp.asarray(e_out)
+            acc_in = jnp.asarray(a_in)
+            acc_out = jnp.asarray(a_out)
+            logger.info("resuming CBOW training from epoch %d", start_epoch)
+
+        n_walks = len(walks)
+        batch = min(p.batch_walks, n_walks)
+        n_batches = (n_walks + batch - 1) // batch
+        total_steps = max(p.max_iter * n_batches, 1)
+        n_padded = n_batches * batch
+        if is_device:
+            corpus = walks.astype(jnp.int32)
+            if n_padded > n_walks:
+                pad = jnp.full((n_padded - n_walks, walks.shape[1]), -1, jnp.int32)
+                corpus = jnp.concatenate([corpus, pad])
+        else:
+            corpus_host = np.full((n_padded, walks.shape[1]), -1, dtype=np.int32)
+            corpus_host[:n_walks] = walks
+            corpus = jnp.asarray(corpus_host)
+
+        lr_slope = p.step_size / total_steps
+        root_key = jax.random.PRNGKey(p.seed)
+        keep = self._keep_table()
+        self._losses = []
+        for epoch in range(start_epoch, p.max_iter):
+            k_shuffle = jax.random.fold_in(root_key, 1_000_000 + epoch)
+            shuffled = corpus[jax.random.permutation(k_shuffle, n_padded)]
+            if keep is not None:
+                shuffled = _subsample_walks(
+                    shuffled, jax.random.fold_in(root_key, 2_000_000 + epoch), keep
+                )
+            ctx = timer.measure("cbow_epoch") if timer is not None else None
+            if ctx is not None:
+                ctx.__enter__()
+            if use_hs:
+                emb_in, emb_out, acc_in, acc_out, losses = cbow_hs_epoch(
+                    emb_in, emb_out, acc_in, acc_out, shuffled, root_key,
+                    jnp.int32(epoch * n_batches), jnp.float32(p.step_size),
+                    jnp.float32(lr_slope), hs_points, hs_codes, hs_len,
+                    vocab_mask,
+                    batch=batch, n_batches=n_batches, window=p.window_size,
+                    shrink_window=p.shrink_window, min_lr=p.min_step_size,
+                    cbow_mean=p.cbow_mean,
+                )
+            else:
+                emb_in, emb_out, acc_in, acc_out, losses = cbow_epoch(
+                    emb_in, emb_out, acc_in, acc_out, shuffled, root_key,
+                    jnp.int32(epoch * n_batches), jnp.float32(p.step_size),
+                    jnp.float32(lr_slope), ns_alias, ns_prob, vocab_mask,
+                    batch=batch, n_batches=n_batches, window=p.window_size,
+                    negatives=p.negative,
+                    shared_negatives=self.shared_negatives,
+                    shrink_window=p.shrink_window, min_lr=p.min_step_size,
+                    cbow_mean=p.cbow_mean,
+                )
+            if ctx is not None:
+                ctx.__exit__(None, None, None)
+            self._losses.append(float(losses.mean()))
+            if verbose:
+                logger.info(
+                    "cbow epoch %d/%d loss=%.4f", epoch + 1, p.max_iter,
+                    self._losses[-1],
+                )
+            if checkpoint_dir and (epoch + 1) % checkpoint_every == 0:
+                save_train_state(
+                    checkpoint_dir,
+                    epoch + 1,
+                    np.asarray(emb_in),
+                    np.asarray(emb_out),
+                    np.asarray(acc_in),
+                    np.asarray(acc_out),
+                )
+        self.emb_in = emb_in
+        self.emb_out = emb_out
+        return self
+
     def fit_streaming_sharded(
         self,
         walk_source,
@@ -464,6 +674,12 @@ class Word2VecTPU:
             unshard_rows,
         )
 
+        if self.params.sg == 0:
+            raise ValueError(
+                "CBOW (sg=0) is supported on the single-device and streaming "
+                "trainers (fit/fit_streaming); the sharded trainers are "
+                "skip-gram only — set sg=1 or train unsharded"
+            )
         if table_sharding != "row":
             raise ValueError(
                 "streaming sharded training requires table_sharding='row' "
@@ -486,6 +702,9 @@ class Word2VecTPU:
         rep = NamedSharding(mesh, Pspec())
         sh_corpus = NamedSharding(mesh, Pspec(AXES, None))
         mask = jax.device_put(jnp.asarray(self.vocab.mask), rep)
+        keep = self._keep_table()
+        if keep is not None:
+            keep = jax.device_put(keep, rep)
         use_hs = p.negative == 0
         if use_hs:
             from node2vec_tpu.models.hsoftmax import (
@@ -552,6 +771,14 @@ class Word2VecTPU:
                     .reshape(n_c, -1)
                 )
                 corpus = jax.device_put(pending, sh_corpus)
+                if keep is not None:
+                    corpus = _subsample_walks(
+                        corpus,
+                        jax.random.fold_in(
+                            root_key, 10_000_000 + epoch * n_chunks + i
+                        ),
+                        keep,
+                    )
                 n_walks_c = corpus.shape[0]
                 batch_local = max(
                     min(p.batch_walks, n_walks_c) // n_dev, 1
@@ -646,6 +873,12 @@ class Word2VecTPU:
             init_sharded_state,
         )
 
+        if self.params.sg == 0:
+            raise ValueError(
+                "CBOW (sg=0) is supported on the single-device and streaming "
+                "trainers (fit/fit_streaming); the sharded trainers are "
+                "skip-gram only — set sg=1 or train unsharded"
+            )
         if self.params.negative == 0:
             if table_sharding != "row":
                 # column-sharded HS would replicate the [n_inner, D] tree
@@ -727,12 +960,20 @@ class Word2VecTPU:
             NamedSharding(mesh, Pspec("data", None)),
         )
 
+        keep = self._keep_table()
+        if keep is not None:
+            keep = jax.device_put(keep, rep)
         self._losses = []
         for epoch in range(start_epoch, p.max_iter):
+            ep_corpus = corpus
+            if keep is not None:
+                ep_corpus = _subsample_walks(
+                    corpus, jax.random.fold_in(root_key, 2_500_000 + epoch), keep
+                )
             state, losses = col_sgns_epoch(
                 mesh,
                 state,
-                corpus,
+                ep_corpus,
                 jax.random.fold_in(root_key, 500_000 + epoch),
                 epoch * n_batches,
                 p.step_size,
@@ -838,13 +1079,21 @@ class Word2VecTPU:
         lr_slope = p.step_size / total_steps
         root_key = jax.random.PRNGKey(p.seed)
 
+        keep = self._keep_table()
+        if keep is not None:
+            keep = jax.device_put(keep, rep)
         self._losses = []
         total_dropped = 0
         for epoch in range(start_epoch, p.max_iter):
+            ep_corpus = corpus
+            if keep is not None:
+                ep_corpus = _subsample_walks(
+                    corpus, jax.random.fold_in(root_key, 3_000_000 + epoch), keep
+                )
             state, losses, dropped = row_sgns_epoch(
                 mesh,
                 state,
-                corpus,
+                ep_corpus,
                 jax.random.fold_in(root_key, epoch),
                 epoch * n_batches,
                 p.step_size,
@@ -958,13 +1207,21 @@ class Word2VecTPU:
         lr_slope = p.step_size / total_steps
         root_key = jax.random.PRNGKey(p.seed)
 
+        keep = self._keep_table()
+        if keep is not None:
+            keep = jax.device_put(keep, rep)
         self._losses = []
         total_dropped = 0
         for epoch in range(start_epoch, p.max_iter):
+            ep_corpus = corpus
+            if keep is not None:
+                ep_corpus = _subsample_walks(
+                    corpus, jax.random.fold_in(root_key, 3_000_000 + epoch), keep
+                )
             state, losses, dropped = row_hs_epoch(
                 mesh,
                 state,
-                corpus,
+                ep_corpus,
                 jax.random.fold_in(root_key, epoch),
                 epoch * n_batches,
                 p.step_size,
