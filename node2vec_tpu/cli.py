@@ -135,6 +135,8 @@ def stage_embed(args) -> None:
         window_size=args.window,
         negative=args.negative,
         step_size=args.lr,
+        sg=args.sg,
+        sample=args.sample,
     )
     backend = Node2VecTPUEmbedding(
         df_walks=walks, name_id=g.names, w2v_params=params
@@ -258,6 +260,14 @@ def main(argv=None) -> int:
     p_embed.add_argument("--negative", type=int, default=5)
     p_embed.add_argument("--min-count", type=int, default=10)
     p_embed.add_argument("--lr", type=float, default=0.025)
+    p_embed.add_argument(
+        "--sg", type=int, default=1, choices=(0, 1),
+        help="1 = skip-gram (default), 0 = CBOW (gensim's default architecture)",
+    )
+    p_embed.add_argument(
+        "--sample", type=float, default=0.0,
+        help="frequent-vertex subsampling threshold (gensim 'sample'; 0 = off)",
+    )
     p_embed.add_argument("--checkpoint", action="store_true")
 
     p_eval = sub.add_parser("eval", help="link-prediction AUC (+F1 with --labels)")
