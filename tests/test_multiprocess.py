@@ -32,6 +32,10 @@ def test_two_process_mesh_walks_and_rowsharded_sgns():
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env.pop("JAX_PLATFORMS", None)  # the program forces cpu itself
     prog = os.path.join(os.path.dirname(__file__), "mp_program.py")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(prog)))
+    # the subprocess's sys.path[0] is tests/, not the repo root — make the
+    # package importable regardless of how pytest itself resolved it
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, prog, str(pid), "2", str(port)],
