@@ -34,7 +34,7 @@ from node2vec_tpu.walk.blocked import (  # noqa: E402
 )
 
 
-def run_combo(g, bg, p, q, n_walkers, walk_length, max_trials=10**9):
+def run_combo(g, bg, p, q, n_walkers, walk_length, max_trials=64):
     starts = (
         np.random.default_rng(0)
         .integers(0, g.n_vertices, n_walkers)
@@ -75,10 +75,15 @@ def main():
     scale = int(sys.argv[1]) if len(sys.argv) > 1 else 21
     p = float(sys.argv[2]) if len(sys.argv) > 2 else 0.25
     q = float(sys.argv[3]) if len(sys.argv) > 3 else 4.0
+    import jax
+
+    print("devices:", jax.devices(), flush=True)
+    t0 = time.perf_counter()
     src, dst = rmat_edges(scale, 8 * (1 << scale))
     g = build_graph(
         (src, dst), indexed=True, directed=False, max_out_degree=10_000
     )
+    print(f"graph built in {time.perf_counter()-t0:.0f}s", flush=True)
     deg = g.out_degrees()
     max_deg = int(deg.max())
     print(
@@ -87,7 +92,14 @@ def main():
         flush=True,
     )
 
+    import os
+
     combos = [(32, 256), (64, 128), (64, 256), (32, 512), (128, 128)]
+    if os.environ.get("COMBOS"):  # e.g. COMBOS="32,256;64,128"
+        combos = [
+            tuple(int(x) for x in s.split(","))
+            for s in os.environ["COMBOS"].split(";")
+        ]
     for p_l, c in combos:
         if max_deg > _max_blocks(p_l) * c:
             print(f"P={p_l} C={c}: capacity too small, skip", flush=True)
@@ -98,6 +110,7 @@ def main():
             g.indptr, g.indices, g.weights, light_width=p_l, block_width=c
         )
         pack_s = time.perf_counter() - t0
+        print(f"P={p_l} C={c}: packed in {pack_s:.0f}s, running...", flush=True)
         light_mb = bg.light.size * 4 / 1e6
         blk_mb = (bg.biw.size + bg.bids.size + bg.brp.size) * 4 / 1e6
         sps, comp, att = run_combo(g, bg, p, q, 1 << 17, 40)
