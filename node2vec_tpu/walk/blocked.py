@@ -455,6 +455,7 @@ def blocked_walk_chunk_impl(
             degree = jnp.sum(ids != PAD_ID, axis=1)
             wtot = jnp.sum(w_light, axis=1)
         alive = alive & ~(entry & (degree == 0))  # sink death
+        attempted = alive  # every lane alive past sink death draws this iter
 
         first_order = t == 0
         # RNG counter = per-walker ATTEMPT number (not the global iteration):
@@ -611,7 +612,14 @@ def blocked_walk_chunk_impl(
         need_entry = adv
         alive = alive & (t < el)
 
-        att = jnp.where(alive, att + jnp.uint32(1), att)
+        # count the attempt for every lane that drew — including one whose
+        # FINAL accepted attempt just finished its walk (alive is now false);
+        # counting post-kill undercounted exactly 1 attempt per completed
+        # walker (bench read 0.95 attempts/step at walk_length 20).  The
+        # extra counter tick on finished lanes never feeds a draw, so walks
+        # are bit-identical; this only makes the reported attempts/step (and
+        # the roofline floor built on it) exact, matching the EP engine.
+        att = jnp.where(attempted, att + jnp.uint32(1), att)
         return (paths, t, cur, prev, w_fwd, fwd_pfx, w_back, back_pfx,
                 back_shared, cur_row, prev_mem, alive, trials, need_entry,
                 gidsu, n_fb, att, it + jnp.uint32(1))
