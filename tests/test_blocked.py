@@ -246,6 +246,29 @@ def test_tail_compaction_bit_matches_uncompacted():
     np.testing.assert_array_equal(w_casc, w_small)
 
 
+def test_attempt_count_exact():
+    """The attempt counter must count EVERY draw, including each walker's
+    final accepted one (it used to stop one short per completed walker,
+    deflating bench's attempts/step to (L-1)/L).  With uniform bias (no
+    rejection) and with max_trials=1 (every attempt forced to advance),
+    attempts == steps exactly."""
+    g = _hub_graph()  # no sinks: every vertex has out-edges
+    bg = build_blocked_graph(g.indptr, g.indices, g.weights)
+    starts = np.arange(64, dtype=np.int32) % g.n_vertices
+    gids = np.arange(64, dtype=np.int32)
+    for p, q, trials in [(1.0, 1.0, 64), (0.25, 4.0, 1)]:
+        paths, n_fb, n_att = blocked_walk_chunk(
+            bg.light, bg.biw, bg.bids, bg.brp,
+            jnp.asarray(starts), jnp.asarray(gids), jnp.uint32(11),
+            walk_length=7, return_param=p, inout_param=q,
+            max_trials=trials, light_width=bg.light_width,
+            block_width=bg.block_width, has_heavy=bg.has_heavy,
+        )
+        steps = int((np.asarray(paths) >= 0).sum()) - len(starts)
+        assert steps == 7 * len(starts)  # no sinks -> all walks complete
+        assert int(n_att) == steps, (p, q, int(n_att), steps)
+
+
 def test_determinism_and_seed_variation():
     g = _hub_graph()
     params = Node2VecParams(num_walks=2, walk_length=5, return_param=0.5,
