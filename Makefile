@@ -27,4 +27,4 @@ dryrun:         ## multi-chip sharding dry-run on 8 virtual CPU devices
 	import __graft_entry__ as g; g.dryrun_multichip(8); print('dryrun ok')"
 
 package:        ## build an sdist/wheel
-	python -m pip wheel --no-deps -w dist .
+	python -m pip wheel --no-deps --no-build-isolation -w dist .

@@ -394,7 +394,7 @@ def blocked_walk_chunk_impl(
     light_width: int,
     block_width: int,
     has_heavy: bool,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Async blocked walks: (paths [W, L+1] int32, n_fallback, n_attempts)."""
     p_l = light_width
     c = block_width
