@@ -317,6 +317,84 @@ int n2v_edge_metadata(int32_t n_vertices, const int64_t* indptr,
   return 0;
 }
 
+// Per-edge shared-neighbor (slot, weight) lists for the blocked engine's
+// exact 3-atom mixture (walk/blocked.py shared_lists).  For each edge
+// e = (u -> v): up to K=8 positions j within the sorted row N(v) with
+// N(v)[j] ∈ N(u) and N(v)[j] != u, their edge weights w(v -> N(v)[j]), the
+// global index of the reverse edge (v -> u) (-1 if absent), and an overflow
+// flag when more than K shared positions exist (or a position exceeds the
+// uint16 slot range) — overflow edges fall back to the rejection-bound path.
+// Layout per edge: 16 int32 lanes, 8 edges per 128-lane device row (must
+// match walk/blocked.py's SL_* constants):
+//   [0:4]   slots packed 2 x uint16 (even index in the low half; 0xFFFF pad)
+//   [4:12]  f32 weight bits of the shared entries (0.0 pad)
+//   [12]    rev_eid int32 (-1 when the reverse edge is absent)
+//   [13]    flags (bit0 = overflow)
+//   [14:16] reserved (zero)
+int n2v_edge_shared_list(int32_t n_vertices, const int64_t* indptr,
+                         const int32_t* indices, const float* weights,
+                         int32_t* out, int32_t n_threads) {
+  constexpr int kK = 8;
+  constexpr int kLanes = 16;
+  constexpr uint32_t kPadSlot = 0xFFFFu;
+  int64_t n_edges = indptr[n_vertices];
+  parallel_for(n_edges, n_threads, [&](int64_t e) {
+    int32_t u = static_cast<int32_t>(
+        std::upper_bound(indptr, indptr + n_vertices + 1, e) - indptr - 1);
+    int32_t v = indices[e];
+    int64_t a = indptr[u], a_end = indptr[u + 1];
+    int64_t b = indptr[v], b_end = indptr[v + 1];
+    int32_t* lane = out + e * kLanes;
+    uint16_t slots[kK];
+    float ws[kK];
+    int count = 0;
+    bool overflow = false;
+    while (a < a_end && b < b_end) {
+      int32_t x = indices[a], y = indices[b];
+      if (x < y) {
+        ++a;
+      } else if (y < x) {
+        ++b;
+      } else {
+        if (x != u) {
+          int64_t j = b - indptr[v];
+          if (count < kK && j < kPadSlot) {
+            slots[count] = static_cast<uint16_t>(j);
+            ws[count] = weights[b];
+            ++count;
+          } else {
+            overflow = true;
+            break;
+          }
+        }
+        ++b;  // advance b only: duplicate positions in N(v) all match x
+      }
+    }
+    // overflow rows carry no usable entries: emit all-pad so the table is
+    // bit-identical to the python fallback (kernel ignores them either way)
+    int fill = overflow ? 0 : count;
+    for (int i = 0; i < kK / 2; ++i) {
+      uint32_t lo16 = (2 * i < fill) ? slots[2 * i] : kPadSlot;
+      uint32_t hi16 = (2 * i + 1 < fill) ? slots[2 * i + 1] : kPadSlot;
+      uint32_t packed = lo16 | (hi16 << 16);
+      std::memcpy(lane + i, &packed, sizeof(packed));
+    }
+    for (int i = 0; i < kK; ++i) {
+      float w = i < fill ? ws[i] : 0.0f;
+      std::memcpy(lane + kK / 2 + i, &w, sizeof(w));
+    }
+    const int32_t* pos =
+        std::lower_bound(indices + indptr[v], indices + b_end, u);
+    lane[12] = (pos != indices + b_end && *pos == u)
+                   ? static_cast<int32_t>(pos - indices)
+                   : -1;
+    lane[13] = overflow ? 1 : 0;
+    lane[14] = 0;
+    lane[15] = 0;
+  });
+  return 0;
+}
+
 // Parallel vertex indexing for integer names: map arbitrary int64 vertex
 // names to dense int32 ids in sorted-unique order (the reference's spark
 // indexer ordering: distinct().sort().zipWithIndex, indexer.py:69-71; the

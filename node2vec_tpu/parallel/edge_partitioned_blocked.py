@@ -90,7 +90,7 @@ def partition_blocked_graph(
     n_v = len(indptr) - 1
     deg = np.diff(indptr)
     max_deg = int(deg.max()) if n_v else 0
-    p_l = 32 if light_width is None else light_width
+    p_l = 31 if light_width is None else light_width
     maxb = _max_blocks(p_l)
     if block_width is None:
         need = -(-max_deg // maxb) if (deg > p_l).any() else 1
@@ -181,7 +181,7 @@ def save_partitioned_graph(
     n_v = len(indptr) - 1
     deg = np.diff(indptr)
     max_deg = int(deg.max()) if n_v else 0
-    p_l = 32 if light_width is None else light_width
+    p_l = 31 if light_width is None else light_width
     maxb = _max_blocks(p_l)
     if block_width is None:
         need = -(-max_deg // maxb) if (deg > p_l).any() else 1
@@ -433,7 +433,7 @@ def _build_ep_blocked_walk(
             cand_l = select(ids, lane_p, slot_l)
             w_l = select(row[:, p_l : 2 * p_l], lane_p, slot_l)
             rev_l = select(row[:, 2 * p_l : 3 * p_l], lane_p, slot_l)
-            pfx_l = select(row[:, 3 * p_l :], lane_p, slot_l)
+            pfx_l = select(row[:, 3 * p_l : 4 * p_l], lane_p, slot_l)
             ppfx_l = jnp.where(
                 slot_l > 0, select(cdf_l, lane_p, slot_l - 1), 0.0
             )

@@ -87,11 +87,13 @@ def _build_sharded_blocked_walk(
     light_width: int,
     block_width: int,
     has_heavy: bool,
+    shared_lists: bool,
+    sl_exhaustive: bool,
     axis_name: str,
 ):
     from node2vec_tpu.walk.blocked import blocked_walk_chunk_impl
 
-    def shard_fn(light, biw, bids, brp, starts_shard, gids_shard, seed):
+    def shard_fn(light, biw, bids, brp, slq, starts_shard, gids_shard, seed):
         # no per-shard key fold needed: the blocked engine's RNG is counter-
         # based on global walker ids, so results are layout-invariant
         paths, n_fb, n_att = blocked_walk_chunk_impl(
@@ -99,6 +101,7 @@ def _build_sharded_blocked_walk(
             biw,
             bids,
             brp,
+            slq,
             starts_shard,
             gids_shard,
             seed,
@@ -109,13 +112,15 @@ def _build_sharded_blocked_walk(
             light_width=light_width,
             block_width=block_width,
             has_heavy=has_heavy,
+            shared_lists=shared_lists,
+            sl_exhaustive=sl_exhaustive,
         )
         return paths, n_fb.reshape((1,)), n_att.reshape((1,))
 
     mapped = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(axis_name), P(axis_name), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(axis_name), P(axis_name), P()),
         out_specs=(P(axis_name, None), P(axis_name), P(axis_name)),
         check_vma=False,
     )
@@ -128,6 +133,7 @@ def sharded_blocked_walk_chunk(
     biw: jax.Array,
     bids: jax.Array,
     brp: jax.Array,
+    slq: jax.Array,
     starts: jax.Array,
     gids: jax.Array,
     seed: jax.Array,
@@ -136,14 +142,16 @@ def sharded_blocked_walk_chunk(
     return_param: float,
     inout_param: float,
     max_trials: int = 64,
-    light_width: int = 32,
+    light_width: int = 31,
     block_width: int = 256,
     has_heavy: bool = True,
+    shared_lists: bool = False,
+    sl_exhaustive: bool = False,
     axis_name: str = "data",
 ):
     """Blocked-engine sharded walk: walkers over ``axis_name``, the adjacency
-    tables replicated per device.  Returns (paths, per-shard fallback counts,
-    per-shard attempt counts)."""
+    tables (including the shared-list table) replicated per device.  Returns
+    (paths, per-shard fallback counts, per-shard attempt counts)."""
     fn = _build_sharded_blocked_walk(
         mesh,
         walk_length,
@@ -153,9 +161,11 @@ def sharded_blocked_walk_chunk(
         light_width,
         block_width,
         has_heavy,
+        shared_lists,
+        sl_exhaustive,
         axis_name,
     )
-    return fn(light, biw, bids, brp, starts, gids, seed)
+    return fn(light, biw, bids, brp, slq, starts, gids, seed)
 
 
 @functools.lru_cache(maxsize=16)

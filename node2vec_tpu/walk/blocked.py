@@ -37,6 +37,21 @@ Design:
    lanes take a plain ∝weight draw and are COUNTED (`fallback_count`).
 5. **Counter-based per-walker RNG** (ops/hashrng.py): walks are bit-invariant
    to chunking and sharding layout.
+6. **Shared-list 3-atom sampler (v3, round 3)**: the builder enumerates each
+   edge's shared neighbors (up to SL_K=8 (slot, weight) entries per edge,
+   one parallel C++ merge pass, 64B/edge in the `slq` table).  At q != 1 a
+   lane whose arrival edge has a complete list samples an EXACT mixture of
+   back-atom (w_back/p), shared-atom (Σ w_shared, picked by inverse-CDF over
+   the stored entries — bias-1 candidates never reject), and ∝w-atom
+   ((wtot−w_back)/q) whose only rejection is a proposal landing on a stored
+   slot: per-attempt rejection drops from (1−1/q)(1−s)-shaped to w_S/(q·M)
+   (measured 2.33 → 1.03 attempts/step at q=4 on an ER graph).  Edges with
+   more than SL_K shared neighbors overflow and keep the rejection-bound
+   path per-lane; both paths are exact (chi-square-tested, including an
+   overflow hub-hub edge).  The arrival edge's global CSR id rides in the
+   walker state (light rows reserve an ebase lane — default P=31 keeps the
+   row in one 128-lane tile; a return hop reuses the stored reverse-edge
+   id), so the slq fetch is one extra row gather per accepted step.
 
 Sampling semantics match the reference per-step alias tables
 (``/root/reference/node2vec/randomwalk.py:218-231``): step 0 first-order
@@ -62,26 +77,63 @@ SIGN = np.int32(np.uint32(0x80000000))  # has_shared flag bit in rev_enc
 MAG = np.int32(0x7FFFFFFF)
 QUADS_PER_ROW = 64  # (rev, pfx) pairs per 128-lane BRP row
 
+# shared-list (slq) table layout: per edge 16 int32 lanes, 8 edges per
+# 128-lane row (must match native/graph_core.cpp n2v_edge_shared_list):
+#   [0:4]   up to K=8 shared-neighbor positions within the sorted destination
+#           row, packed 2 x uint16 per lane (0xFFFF pad)
+#   [4:12]  f32 weight bits of those entries (0.0 pad)
+#   [12]    global CSR index of the reverse edge (-1 absent)
+#   [13]    flags: bit0 = overflow (more than K shared entries — lane falls
+#           back to the rejection-bound sampler)
+SL_K = 8
+SL_LANES = 16
+SL_EDGES_PER_ROW = 8
+SL_PAD_SLOT = 0xFFFF
+
 
 def _max_blocks(light_width: int) -> int:
     """Heavy-header capacity: 5 scalars + mins[MAXB] + cum[MAXB] in 4P lanes."""
     return (4 * light_width - 5) // 2
 
 
+def _light_row_width(light_width: int) -> int:
+    """Physical light-row lanes: 4P data lanes + 1 ebase lane, rounded up to
+    the 128-lane tile (the default P=31 makes this exactly 128 — the ebase
+    lane rides in what would otherwise be physical tile padding)."""
+    return -(-(4 * light_width + 1) // 128) * 128
+
+
 class BlockedGraph(NamedTuple):
     """Device arrays for the blocked engine (see build_blocked_graph)."""
 
-    light: jnp.ndarray  # [V, 4P] int32 light rows / heavy headers
+    light: jnp.ndarray  # [V, RW] int32 light rows / heavy headers (+ ebase)
     biw: jnp.ndarray  # [NB, 2C] int32 heavy blocks: ids | w bits
     bids: jnp.ndarray  # [NB, C] int32 heavy block ids (membership fetches)
     brp: jnp.ndarray  # [NB*C/64, 128] int32 per-slot (rev_enc, pfx) pairs
     light_width: int  # P
     block_width: int  # C
     has_heavy: bool
+    # per-edge shared-neighbor lists for the exact 3-atom mixture
+    # ([ceil(E/8), 128] int32, SL_* layout), or None when unavailable
+    slq: jnp.ndarray | None = None
+    # weight fraction of overflow edges (> SL_K shared entries) — the
+    # traversal-mass proxy the engine's auto policy uses: high ω means most
+    # steps fall back anyway and the extra slq gather is a net loss
+    sl_ovf_wfrac: float = 1.0
 
     @property
     def n_vertices(self) -> int:
         return self.light.shape[0]
+
+    @property
+    def shared_lists(self) -> bool:
+        return self.slq is not None
+
+    @property
+    def sl_exhaustive(self) -> bool:
+        """True when NO edge overflowed: every q != 1 lane runs the 3-atom
+        sampler, so the kernel can skip the membership gather entirely."""
+        return self.slq is not None and self.sl_ovf_wfrac == 0.0
 
 
 def _edge_has_shared(
@@ -269,9 +321,14 @@ def _pack_range(
     r_rev = rev_enc[e_lo:e_hi]
     r_pfx = pfx[e_lo:e_hi]
 
-    light = np.empty((n_range, 4 * p_l), dtype=np.int32)
+    light = np.empty((n_range, _light_row_width(p_l)), dtype=np.int32)
     light[:, :p_l] = PAD_ID
     light[:, p_l:] = zero_bits
+    # lane 4P: this row's global CSR edge base (indptr[v]) — lets the kernel
+    # turn an accepted slot into a global edge id for the slq fetch without a
+    # separate [W] gather.  Graphs beyond int32 edge counts disable slq.
+    if indptr[hi] <= np.iinfo(np.int32).max:
+        light[:, 4 * p_l] = indptr[lo:hi].astype(np.int32)
     e_light = np.repeat(~heavy, deg)
     lr = src_rep[e_light]
     lc = col[e_light]
@@ -339,14 +396,69 @@ def _check_capacity(max_deg: int, p_l: int, c: int) -> None:
         )
 
 
+def _edge_shared_list(
+    indptr: np.ndarray, indices: np.ndarray, weights: np.ndarray
+) -> "np.ndarray | None":
+    """Per-edge [E, SL_LANES] shared lists (SL_* layout); None when neither
+    the native core nor the (small-graph-only) numpy fallback applies."""
+    from node2vec_tpu import native
+
+    if native.available():
+        return native.edge_shared_list(indptr, indices, weights)
+    n_e = len(indices)
+    if n_e > 200_000:  # the per-edge python loop below is host-prohibitive
+        return None
+    n_v = len(indptr) - 1
+    out = np.zeros((n_e, SL_LANES), dtype=np.int32)
+    src_rep = np.repeat(np.arange(n_v), np.diff(indptr))
+    rows = [indices[indptr[v] : indptr[v + 1]] for v in range(n_v)]
+    sets = [set(r.tolist()) for r in rows]
+    for e in range(n_e):
+        u, v = int(src_rep[e]), int(indices[e])
+        nv = rows[v]
+        su = sets[u]
+        slots = [
+            j for j, x in enumerate(nv.tolist()) if x in su and x != u
+        ]
+        ovf = len(slots) > SL_K or (slots and slots[-1] >= SL_PAD_SLOT)
+        packed = np.full(SL_K, SL_PAD_SLOT, np.uint32)
+        ws = np.zeros(SL_K, np.float32)
+        if not ovf:
+            packed[: len(slots)] = slots
+            ws[: len(slots)] = weights[indptr[v] + np.asarray(slots, int)]
+        out[e, : SL_K // 2] = (
+            packed[0::2] | (packed[1::2] << np.uint32(16))
+        ).view(np.int32)
+        out[e, SL_K // 2 : SL_K // 2 + SL_K] = ws.view(np.int32)
+        pos = indptr[v] + np.searchsorted(nv, u)
+        has_rev = pos < indptr[v + 1] and indices[pos] == u
+        out[e, 12] = int(pos) if has_rev else -1
+        out[e, 13] = 1 if ovf else 0
+    return out
+
+
 def build_blocked_graph(
     indptr: np.ndarray,
     indices: np.ndarray,
     weights: np.ndarray,
     light_width: int | None = None,
     block_width: int | None = None,
+    shared_lists: bool = False,
 ) -> BlockedGraph:
-    """Host-side packing of a sorted CSR graph into the v2 blocked layout."""
+    """Host-side packing of a sorted CSR graph into the blocked layout.
+
+    ``shared_lists`` (default OFF): also build the per-edge shared-neighbor
+    (slot, weight) lists that drive the exact 3-atom biased sampler.  Opt-in
+    because it is a measured NET LOSS in the blocked engine's own regime:
+    heavy-tail graphs concentrate traversal on hub-hub edges whose shared
+    counts overflow any practical SL_K (RMAT 43% / zipf 62% of edge weight),
+    so attempts only drop ~25% while the slq fetch adds a 5th gather to
+    every loop iteration (measured 0.92-0.94x, experiments/
+    shared_list_bench.py).  It wins where most traversal mass has <= SL_K
+    shared neighbors (attempts 2.33 -> 1.03 on a clustered 500-vertex
+    graph) — typically graphs the dense engine serves anyway.  Costs 64B
+    per edge of device memory + one C++ merge pass (~15s per 8M edges).
+    """
     indptr = np.asarray(indptr, dtype=np.int64)
     indices = np.asarray(indices, dtype=np.int32)
     weights = np.asarray(weights, dtype=np.float32)
@@ -355,7 +467,10 @@ def build_blocked_graph(
     max_deg = int(deg.max()) if n_v else 0
 
     rev_enc, pfx = _edge_metadata(indptr, indices, weights)
-    p_l = 32 if light_width is None else light_width
+    # default P = 31, not 32: 4P+1 = 125 lanes rounds up to exactly one
+    # 128-lane tile, so the ebase lane (and the light/heavy split at deg 31
+    # instead of 32) costs zero physical row bytes
+    p_l = 31 if light_width is None else light_width
     maxb = _max_blocks(p_l)
     n_heavy = int((deg > p_l).sum())
     if block_width is None:
@@ -367,6 +482,26 @@ def build_blocked_graph(
     light, biw, bids, brp = _pack_range(
         indptr, indices, weights, rev_enc, pfx, 0, n_v, p_l, c
     )
+    slq = None
+    ovf_wfrac = 1.0
+    if shared_lists and len(indices) <= np.iinfo(np.int32).max:
+        sl = _edge_shared_list(indptr, indices, weights)
+        if sl is None:
+            if shared_lists:
+                raise ValueError(
+                    "shared_lists=True requires the native graph core "
+                    "(or a graph small enough for the numpy fallback)"
+                )
+        else:
+            n_rows = -(-len(indices) // SL_EDGES_PER_ROW)
+            slq_host = np.zeros((max(n_rows, 1), 128), dtype=np.int32)
+            slq_host.reshape(-1)[: sl.size] = sl.reshape(-1)
+            slq = jnp.asarray(slq_host)
+            ovf = (sl[:, 13] & 1).astype(bool)
+            wtot_all = float(weights.sum())
+            ovf_wfrac = (
+                float(weights[ovf].sum()) / wtot_all if wtot_all > 0 else 0.0
+            )
     return BlockedGraph(
         light=jnp.asarray(light),
         biw=jnp.asarray(biw),
@@ -375,6 +510,8 @@ def build_blocked_graph(
         light_width=p_l,
         block_width=c,
         has_heavy=bool(n_heavy),
+        slq=slq,
+        sl_ovf_wfrac=ovf_wfrac,
     )
 
 
@@ -383,6 +520,7 @@ def blocked_walk_chunk_impl(
     biw: jax.Array,
     bids: jax.Array,
     brp: jax.Array,
+    slq: jax.Array,  # [*, 128] shared-list rows (dummy when shared_lists off)
     starts: jax.Array,  # [W] int32, negative = dead padding lane
     gids: jax.Array,  # [W] int32 global walker ids (chunk-invariant RNG)
     seed: jax.Array,  # uint32 scalar
@@ -394,8 +532,20 @@ def blocked_walk_chunk_impl(
     light_width: int,
     block_width: int,
     has_heavy: bool,
+    shared_lists: bool = False,
+    sl_exhaustive: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Async blocked walks: (paths [W, L+1] int32, n_fallback, n_attempts)."""
+    """Async blocked walks: (paths [W, L+1] int32, n_fallback, n_attempts).
+
+    ``shared_lists=True`` (requires the builder's slq table) switches q != 1
+    lanes to the EXACT 3-atom mixture: the arrival edge's enumerated shared
+    neighbors form their own bias-1 atom (picked by inverse-CDF over the
+    stored (slot, weight) list, no rejection) and the ∝w atom's only
+    rejection is a proposal landing on a stored slot — per-attempt rejection
+    probability drops from (1-s)(1-1/q)-shaped to w_S/(q·M).  Edges whose
+    shared count overflows SL_K fall back per-lane to the rejection-bound
+    sampler; both paths are exact (chi-square-tested).
+    """
     p_l = light_width
     c = block_width
     maxb = _max_blocks(p_l)
@@ -405,6 +555,12 @@ def blocked_walk_chunk_impl(
     inv_q = jnp.float32(1.0 / inout_param)
     uniform_bias = return_param == 1.0 and inout_param == 1.0
     need_membership = inout_param != 1.0
+    use_sl = shared_lists and need_membership
+    # exhaustive shared lists: every edge's list is complete, so no lane can
+    # fall back — the membership machinery (prev_mem carry + bids gather)
+    # drops out of the compiled program entirely
+    sl_total = use_sl and sl_exhaustive
+    need_mem_rows = need_membership and not sl_total
     prev_keep = max(p_l, 5 + maxb)
 
     alive0 = starts >= 0
@@ -421,7 +577,7 @@ def blocked_walk_chunk_impl(
     def body(carry):
         (paths, t, cur, prev, w_fwd, fwd_pfx, w_back, back_pfx, back_shared,
          cur_row, prev_mem, alive, trials, need_entry, gidsu, n_fb, att,
-         it) = carry
+         it, aedge, sl_row) = carry
         # the body is LANE-COUNT polymorphic (shapes read off the carry) so
         # the tail-compaction cascade below can reuse it on smaller buffers
         n_w = alive.shape[0]
@@ -435,6 +591,31 @@ def blocked_walk_chunk_impl(
         entry = need_entry & alive
         lr = light[jnp.where(entry, cur, 0)]
         cur_row = jnp.where(entry[:, None], lr, cur_row)
+        if use_sl:
+            # one slq row per accepted step: the ARRIVAL edge's shared list
+            fetch = entry & (aedge >= 0)
+            srow = slq[jnp.where(fetch, aedge // SL_EDGES_PER_ROW, 0)]
+            grp = jnp.maximum(aedge, 0) % SL_EDGES_PER_ROW
+            sub = srow[:, :SL_LANES]
+            for g in range(1, SL_EDGES_PER_ROW):
+                sub = jnp.where(
+                    (grp == g)[:, None],
+                    srow[:, g * SL_LANES : (g + 1) * SL_LANES],
+                    sub,
+                )
+            sl_row = jnp.where(fetch[:, None], sub, sl_row)
+            ebase_cur = cur_row[:, 4 * p_l]
+            # decode: K slots (2 x uint16 per lane, 0xFFFF pad) + K f32 w
+            packed_sl = sl_row[:, : SL_K // 2]
+            slot_even = packed_sl & 0xFFFF
+            slot_odd = (packed_sl >> 16) & 0xFFFF
+            slot_k = jnp.stack([slot_even, slot_odd], axis=2).reshape(
+                n_w, SL_K
+            )
+            valid_k = slot_k != SL_PAD_SLOT
+            w_k = bc_f32(sl_row[:, SL_K // 2 : SL_K // 2 + SL_K])
+            w_sh = jnp.sum(w_k, axis=1)
+            sl_valid = (aedge >= 0) & ((sl_row[:, 13] & 1) == 0)
         ids = cur_row[:, :p_l]
         w_light = bc_f32(cur_row[:, p_l : 2 * p_l])
         if has_heavy:
@@ -484,8 +665,32 @@ def blocked_walk_chunk_impl(
             )
             m1 = w_back * inv_p  # w_back == 0 at step 0
             rest = jnp.maximum(wtot - w_back, 0.0)
-            m2 = rest * alpha2
-            take_back = u_branch < m1 / jnp.maximum(m1 + m2, 1e-30)
+            if use_sl:
+                # exact 3-atom mixture on slist-valid lanes: shared mass is
+                # its own atom, so the ∝w atom needs no bias headroom
+                alpha2 = jnp.where(sl_valid, inv_q, alpha2)
+                msh = jnp.where(sl_valid, w_sh, 0.0)
+                m2 = rest * alpha2
+                ub = u_branch * (m1 + msh + m2)
+                take_back = ub < m1
+                take_sh = sl_valid & ~take_back & (ub < m1 + msh)
+                # shared-atom pick: inverse-CDF over the stored K weights
+                cdf_sh = prefix_sums(w_k)
+                n_sh = jnp.sum(valid_k.astype(jnp.int32), axis=1)
+                k_idx = jnp.minimum(
+                    jnp.sum(
+                        (cdf_sh < (u_prop * w_sh)[:, None]).astype(jnp.int32),
+                        axis=1,
+                    ),
+                    jnp.maximum(n_sh - 1, 0),
+                )
+                k_iota = jax.lax.broadcasted_iota(jnp.int32, (n_w, SL_K), 1)
+                sh_slot = jnp.sum(
+                    jnp.where(k_iota == k_idx[:, None], slot_k, 0), axis=1
+                )
+            else:
+                m2 = rest * alpha2
+                take_back = u_branch < m1 / jnp.maximum(m1 + m2, 1e-30)
             # prev-exclusion: u2 ∈ [0, wtot - w_back) skips prev's interval
             u2 = u_prop * rest
             target = jnp.where(u2 < back_pfx, u2, u2 + w_back)
@@ -494,6 +699,10 @@ def blocked_walk_chunk_impl(
         cdf_l = prefix_sums(w_light)
         slot_l = jnp.sum((cdf_l < target[:, None]).astype(jnp.int32), axis=1)
         slot_l = jnp.minimum(slot_l, jnp.maximum(degree - 1, 0))
+        if use_sl:
+            # a shared-atom pick overrides the ∝w slot; everything downstream
+            # (id/weight/prefix/rev metadata selects) flows off the slot
+            slot_l = jnp.where(take_sh, sh_slot, slot_l)
         cand_l = select(ids, light_iota, slot_l)
         w_l = bc_f32(select(cur_row[:, p_l : 2 * p_l], light_iota, slot_l))
         ppfx_l = jnp.where(
@@ -501,11 +710,17 @@ def blocked_walk_chunk_impl(
         )
         if not uniform_bias:
             rev_l = select(cur_row[:, 2 * p_l : 3 * p_l], light_iota, slot_l)
-            pfx_l = bc_f32(select(cur_row[:, 3 * p_l :], light_iota, slot_l))
+            pfx_l = bc_f32(
+                select(cur_row[:, 3 * p_l : 4 * p_l], light_iota, slot_l)
+            )
 
         if has_heavy:
             blk = jnp.sum((h_cum < target[:, None]).astype(jnp.int32), axis=1)
             blk = jnp.minimum(blk, jnp.maximum(h_nb - 1, 0))
+            if use_sl:
+                # forced BEFORE the block gather: the pick's block must be
+                # the one fetched
+                blk = jnp.where(take_sh, sh_slot // c, blk)
             base = jnp.where(
                 blk > 0,
                 bc_f32(
@@ -520,6 +735,8 @@ def blocked_walk_chunk_impl(
             cdf_b = prefix_sums(bw)
             slot_b = jnp.sum((cdf_b < resid[:, None]).astype(jnp.int32), axis=1)
             slot_b = jnp.minimum(slot_b, jnp.maximum(nvalid - 1, 0))
+            if use_sl:
+                slot_b = jnp.where(take_sh, sh_slot % c, slot_b)
             cand_h = select(brow[:, :c], block_iota, slot_b)
             w_h = bc_f32(select(brow[:, c:], block_iota, slot_b))
             ppfx_h = base + jnp.where(
@@ -549,6 +766,19 @@ def blocked_walk_chunk_impl(
         elif not need_membership:
             # q == 1: all non-return biases are 1 and prev is excluded
             accept = take_back | first_order | (cand != prev)
+        elif sl_total:
+            # exhaustive shared lists: no fallback lane exists — membership
+            # against N(prev) is never consulted, so the bids gather and the
+            # prev_mem carry vanish from the loop (one fewer gather per
+            # iteration on top of the attempt reduction)
+            if has_heavy:
+                row_slot = jnp.where(is_heavy, blk * c + slot_b, slot_l)
+            else:
+                row_slot = slot_l
+            hit = jnp.any(valid_k & (slot_k == row_slot[:, None]), axis=1)
+            accept = first_order | take_back | take_sh | (
+                (cand != prev) & ~hit
+            )
         else:
             if has_heavy:
                 prev_is_heavy = prev_mem[:, 0] < -1
@@ -574,6 +804,24 @@ def blocked_walk_chunk_impl(
             accept = take_back | first_order | (
                 (cand != prev) & (u_acc * alpha2 <= bias2)
             )
+            if use_sl:
+                # slist-valid lanes: exact — the only ∝w-atom rejection is a
+                # proposal landing on an enumerated shared slot (it belongs
+                # to the shared atom); no u_acc coin, no membership fetch
+                # consumed (the fetch above still issues for fallback lanes)
+                if has_heavy:
+                    row_slot = jnp.where(
+                        is_heavy, blk * c + slot_b, slot_l
+                    )
+                else:
+                    row_slot = slot_l
+                hit = jnp.any(
+                    valid_k & (slot_k == row_slot[:, None]), axis=1
+                )
+                accept_sl = take_back | take_sh | (
+                    (cand != prev) & ~hit
+                )
+                accept = jnp.where(sl_valid, accept_sl, accept)
 
         # --- trial cap: bounded-bias ∝weight fallback, counted -------------
         trials = jnp.where(accept, 0, trials + 1)
@@ -601,10 +849,16 @@ def blocked_walk_chunk_impl(
             w_back = jnp.where(adv, nw_back, w_back)
             back_pfx = jnp.where(adv, nb_pfx, back_pfx)
             back_shared = jnp.where(adv, nb_shared, back_shared)
-        if need_membership:
+        if need_mem_rows:
             prev_mem = jnp.where(
                 adv[:, None], cur_row[:, :prev_keep], prev_mem
             )
+        if use_sl:
+            # arrival edge of the accepted hop: a return hop traverses the
+            # known reverse edge (its global id is stored on the arrival
+            # edge's slist row); otherwise ebase[cur] + accepted row slot
+            new_ae = jnp.where(take, sl_row[:, 12], ebase_cur + row_slot)
+            aedge = jnp.where(adv, new_ae, aedge)
         prev = jnp.where(adv, cur, prev)
         cur = jnp.where(adv, nxt, cur)
         t = jnp.where(adv, t + 1, t)
@@ -622,7 +876,7 @@ def blocked_walk_chunk_impl(
         att = jnp.where(attempted, att + jnp.uint32(1), att)
         return (paths, t, cur, prev, w_fwd, fwd_pfx, w_back, back_pfx,
                 back_shared, cur_row, prev_mem, alive, trials, need_entry,
-                gidsu, n_fb, att, it + jnp.uint32(1))
+                gidsu, n_fb, att, it + jnp.uint32(1), aedge, sl_row)
 
     ALIVE, GIDS, NFB, ATT, IT = 11, 14, 15, 16, 17  # carry slots
     it_bound = jnp.uint32(el * (max_trials + 2))
@@ -638,9 +892,9 @@ def blocked_walk_chunk_impl(
         zeros_f,  # w_back
         zeros_f,  # back_pfx
         jnp.zeros((n_w,), bool),  # back_shared
-        jnp.full((n_w, 4 * p_l), PAD_ID, jnp.int32),  # cur_row
+        jnp.full((n_w, light.shape[1]), PAD_ID, jnp.int32),  # cur_row
         jnp.full(
-            (n_w, prev_keep if need_membership else 1), PAD_ID, jnp.int32
+            (n_w, prev_keep if need_mem_rows else 1), PAD_ID, jnp.int32
         ),  # prev_mem
         alive0,
         jnp.zeros((n_w,), jnp.int32),  # trials
@@ -649,6 +903,8 @@ def blocked_walk_chunk_impl(
         jnp.int32(0),  # n_fallback
         jnp.zeros((n_w,), jnp.uint32),  # att (per-walker attempt counter)
         jnp.uint32(0),  # it
+        jnp.full((n_w,), -1, jnp.int32),  # aedge (arrival edge CSR id)
+        jnp.zeros((n_w, SL_LANES if use_sl else 1), jnp.int32),  # sl_row
     )
 
     # --- straggler-tail compaction cascade ---------------------------------
@@ -709,5 +965,16 @@ blocked_walk_chunk = jax.jit(
         "light_width",
         "block_width",
         "has_heavy",
+        "shared_lists",
+        "sl_exhaustive",
     ),
 )
+
+
+def slq_or_dummy(bg: BlockedGraph) -> jnp.ndarray:
+    """The slq operand for blocked_walk_chunk: the real table, or a 1-row
+    dummy when the graph was built without shared lists (the kernel is
+    compiled with shared_lists=False and never touches it)."""
+    if bg.slq is not None:
+        return bg.slq
+    return jnp.zeros((1, 128), jnp.int32)

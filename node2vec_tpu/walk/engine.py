@@ -282,6 +282,7 @@ class WalkEngine:
         graph_sharded: bool = False,
         partitioned_graph=None,
         blocked_graph=None,
+        shared_lists="auto",
     ):
         """``graph_sharded=True`` (requires ``mesh``): the adjacency itself is
         range-partitioned across the mesh's 'data' axis (each device holds
@@ -294,6 +295,14 @@ class WalkEngine:
         reuse across engines over the same graph (host packing + upload of a
         multi-million-edge graph costs seconds; p/q/trial params live in the
         kernels, not the tables).
+
+        ``shared_lists``: the blocked engine's exact 3-atom shared-list
+        sampler (walk/blocked.py design note 6).  True builds the per-edge
+        table and uses it; "auto" (default) only uses a PREBUILT table
+        (``blocked_graph=``) and only when its overflow weight fraction is
+        <= 0.15 — on heavy-tail graphs hub-hub edges overflow the lists and
+        the extra slq gather is a measured net loss (0.92-0.94x,
+        experiments/shared_list_bench.py), so auto never builds one.
         """
         self.params = params
         self.mesh = mesh  # optional jax Mesh: chunks run sharded over 'data'
@@ -331,6 +340,7 @@ class WalkEngine:
             indptr = np.asarray(graph.indptr)
             indices = np.asarray(graph.indices)
             weights = np.asarray(graph.weights)
+        self._sl_policy = shared_lists
         from node2vec_tpu.utils.checkpoint import graph_digest
 
         # checkpoint fingerprints must change when the EDGES change, not
@@ -348,7 +358,10 @@ class WalkEngine:
             else:
                 from node2vec_tpu.walk.blocked import build_blocked_graph
 
-                self.bgraph = build_blocked_graph(indptr, indices, weights)
+                self.bgraph = build_blocked_graph(
+                    indptr, indices, weights,
+                    shared_lists=shared_lists is True,
+                )
         elif strategy == "ep_blocked":
             if partitioned_graph is not None:
                 # pre-packed shards (load_partitioned_graph) — per-host
@@ -395,6 +408,16 @@ class WalkEngine:
         self._att_parts = []
         self._att_base = int(value)
 
+    def _sl_flags(self):
+        """(shared_lists, sl_exhaustive) for the blocked kernel, applying
+        the auto policy (see __init__ docstring)."""
+        bg = self.bgraph
+        if bg is None or bg.slq is None:
+            return False, False
+        pol = self._sl_policy
+        on = pol if isinstance(pol, bool) else bg.sl_ovf_wfrac <= 0.15
+        return on, on and bg.sl_exhaustive
+
     def _effective_chunk(self, n_total: int) -> int:
         chunk = min(self.params.walker_chunk, max(n_total, 1))
         if self.strategy == "dense":
@@ -402,8 +425,11 @@ class WalkEngine:
             w_cap = max(1024, (1 << 25) // self.packed_adj.shape[1])
             chunk = min(chunk, w_cap)
         elif self.strategy == "blocked":
-            # bound the carried per-walker state (row + prev_mem + path)
+            # bound the carried per-walker state (row + prev_mem + path,
+            # + the shared-list row and its 128-lane fetch when enabled)
             per_walker = 6 * self.bgraph.light_width + self.params.walk_length
+            if self.bgraph.shared_lists:
+                per_walker += 144
             w_cap = max(1024, (1 << 26) // per_walker)
             chunk = min(chunk, w_cap)
         return chunk
@@ -430,15 +456,17 @@ class WalkEngine:
                 inout_param=float(p.inout_param),
             )
         if self.strategy == "blocked":
-            from node2vec_tpu.walk.blocked import blocked_walk_chunk
+            from node2vec_tpu.walk.blocked import blocked_walk_chunk, slq_or_dummy
 
             bg = self.bgraph
+            use_sl, sl_ex = self._sl_flags()
             gids = jnp.arange(gid_base, gid_base + len(chunk_starts), dtype=jnp.int32)
             paths, n_fb, n_att = blocked_walk_chunk(
                 bg.light,
                 bg.biw,
                 bg.bids,
                 bg.brp,
+                slq_or_dummy(bg),
                 jnp.asarray(chunk_starts),
                 gids,
                 jnp.uint32(seed & 0xFFFFFFFF),
@@ -449,6 +477,8 @@ class WalkEngine:
                 light_width=bg.light_width,
                 block_width=bg.block_width,
                 has_heavy=bg.has_heavy,
+                shared_lists=use_sl,
+                sl_exhaustive=sl_ex,
             )
             self._fb_parts.append(n_fb)  # device scalars; drained lazily
             self._att_parts.append(n_att)
@@ -545,7 +575,10 @@ class WalkEngine:
                 inout_param=float(p.inout_param),
             )
         elif self.strategy == "blocked":
+            from node2vec_tpu.walk.blocked import slq_or_dummy
+
             bg = self.bgraph
+            use_sl, sl_ex = self._sl_flags()
             gids = jnp.arange(
                 gid_base, gid_base + len(chunk_starts), dtype=jnp.int32
             )
@@ -555,6 +588,7 @@ class WalkEngine:
                 bg.biw,
                 bg.bids,
                 bg.brp,
+                slq_or_dummy(bg),
                 starts,
                 gids,
                 jnp.uint32(seed & 0xFFFFFFFF),
@@ -565,6 +599,8 @@ class WalkEngine:
                 light_width=bg.light_width,
                 block_width=bg.block_width,
                 has_heavy=bg.has_heavy,
+                shared_lists=use_sl,
+                sl_exhaustive=sl_ex,
             )
             self._fb_parts.append(n_fb)  # device arrays; drained lazily
             self._att_parts.append(n_att)

@@ -49,7 +49,11 @@ def main() -> None:
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from node2vec_tpu.parallel.sharded_walk import sharded_blocked_walk_chunk
-    from node2vec_tpu.walk.blocked import blocked_walk_chunk, build_blocked_graph
+    from node2vec_tpu.walk.blocked import (
+        blocked_walk_chunk,
+        build_blocked_graph,
+        slq_or_dummy,
+    )
 
     g = hub_graph()
     bg = build_blocked_graph(g.indptr, g.indices, g.weights)
@@ -63,10 +67,11 @@ def main() -> None:
 
     # reference: plain single-device jit on this process's local device
     ref, _, _ = blocked_walk_chunk(
-        bg.light, bg.biw, bg.bids, bg.brp, jnp.asarray(starts),
+        bg.light, bg.biw, bg.bids, bg.brp, slq_or_dummy(bg),
+        jnp.asarray(starts),
         jnp.asarray(gids), jnp.uint32(11), max_trials=64,
         light_width=bg.light_width, block_width=bg.block_width,
-        has_heavy=bg.has_heavy, **kw,
+        has_heavy=bg.has_heavy, shared_lists=bg.shared_lists, **kw,
     )
     ref = np.asarray(ref)
 
@@ -77,10 +82,12 @@ def main() -> None:
         mesh,
         jax.device_put(bg.light, rep), jax.device_put(bg.biw, rep),
         jax.device_put(bg.bids, rep), jax.device_put(bg.brp, rep),
+        jax.device_put(slq_or_dummy(bg), rep),
         jax.device_put(jnp.asarray(starts), shd),
         jax.device_put(jnp.asarray(gids), shd),
         jnp.uint32(11), light_width=bg.light_width,
-        block_width=bg.block_width, has_heavy=bg.has_heavy, **kw,
+        block_width=bg.block_width, has_heavy=bg.has_heavy,
+        shared_lists=bg.shared_lists, **kw,
     )
     full = multihost_utils.process_allgather(paths, tiled=True)
     np.testing.assert_array_equal(ref, full)
@@ -129,7 +136,19 @@ def main() -> None:
         jax.device_put(jnp.asarray(gids), shd), jnp.uint32(11), **kw,
     )
     ep_full = multihost_utils.process_allgather(ep, tiled=True)
-    np.testing.assert_array_equal(ref, ep_full)
+    # EP bit-match oracle: the single-device engine WITHOUT shared lists
+    # (the EP sampler has no per-range slq tables)
+    bg_nosl = build_blocked_graph(
+        g.indptr, g.indices, g.weights, shared_lists=False
+    )
+    ref_nosl, _, _ = blocked_walk_chunk(
+        bg_nosl.light, bg_nosl.biw, bg_nosl.bids, bg_nosl.brp,
+        slq_or_dummy(bg_nosl), jnp.asarray(starts),
+        jnp.asarray(gids), jnp.uint32(11), max_trials=64,
+        light_width=bg_nosl.light_width, block_width=bg_nosl.block_width,
+        has_heavy=bg_nosl.has_heavy, shared_lists=False, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(ref_nosl), ep_full)
     assert int(multihost_utils.process_allgather(unfin, tiled=True).sum()) == 0
     print(f"proc {pid}: EDGE_PARTITIONED_OK", flush=True)
 
@@ -171,10 +190,12 @@ def main() -> None:
             mesh,
             jax.device_put(bg.light, rep), jax.device_put(bg.biw, rep),
             jax.device_put(bg.bids, rep), jax.device_put(bg.brp, rep),
+            jax.device_put(slq_or_dummy(bg), rep),
             jax.device_put(jnp.asarray(starts_c.astype(np.int32)), shd),
             jax.device_put(jnp.asarray(gids_c.astype(np.int32)), shd),
             jnp.uint32(21), light_width=bg.light_width,
-            block_width=bg.block_width, has_heavy=bg.has_heavy, **kw,
+            block_width=bg.block_width, has_heavy=bg.has_heavy,
+            shared_lists=bg.shared_lists, **kw,
         )
         return paths_c
 

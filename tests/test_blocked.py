@@ -23,6 +23,7 @@ from node2vec_tpu.walk.blocked import (
     _max_blocks,
     build_blocked_graph,
     blocked_walk_chunk,
+    slq_or_dummy,
 )
 
 
@@ -128,16 +129,23 @@ def test_capacity_guard():
     assert _max_blocks(8) * 64 < hub_deg
 
 
+@pytest.mark.parametrize("sl", [False, True])
 @pytest.mark.parametrize("p,q", [(1.0, 1.0), (0.25, 4.0), (4.0, 0.25), (2.0, 0.5)])
-def test_heavy_cur_transition_distribution(p, q):
+def test_heavy_cur_transition_distribution(p, q, sl):
     """Transitions OUT of a multi-block hub must follow the analytic p/q
-    law: hierarchical CDF proposal + membership against a light prev."""
+    law: hierarchical CDF proposal + membership against a light prev.
+    Run in both sampler modes: rejection-bound (default) and the exact
+    3-atom shared-list mixture (sl=True; this graph has no overflow edges,
+    so it also covers the sl_exhaustive no-membership path)."""
     g = _hub_graph()
     params = Node2VecParams(
         num_walks=12000, walk_length=2, return_param=p, inout_param=q,
         walker_chunk=1 << 14,
     )
-    engine = WalkEngine(g, params, strategy="blocked")
+    engine = WalkEngine(g, params, strategy="blocked", shared_lists=sl)
+    assert engine.bgraph.shared_lists == sl
+    if sl:
+        assert engine.bgraph.sl_exhaustive
     walks = engine.run(seed=11, start_vertices=np.array([5], dtype=np.int32))
     # step 0: first-order from light vertex 5; probe walks that went 5 -> 0
     took = walks[:, 1] == 0
@@ -168,8 +176,9 @@ def test_heavy_cur_transition_distribution(p, q):
     assert res.pvalue > 1e-4, (p, q, counts, expected)
 
 
+@pytest.mark.parametrize("sl", [False, True])
 @pytest.mark.parametrize("p,q", [(0.25, 4.0), (2.0, 0.5)])
-def test_heavy_prev_membership_distribution(p, q):
+def test_heavy_prev_membership_distribution(p, q, sl):
     """Transitions FROM a light vertex with a heavy prev exercise the
     block-min membership search against the hub's neighbor set.
 
@@ -184,7 +193,7 @@ def test_heavy_prev_membership_distribution(p, q):
         num_walks=20000, walk_length=2, return_param=p, inout_param=q,
         walker_chunk=1 << 15,
     )
-    engine = WalkEngine(g, params, strategy="blocked")
+    engine = WalkEngine(g, params, strategy="blocked", shared_lists=sl)
     walks = engine.run(seed=17, start_vertices=np.array([0], dtype=np.int32))
     x = walks[:, 1]
     y = walks[:, 2]
@@ -258,11 +267,12 @@ def test_attempt_count_exact():
     gids = np.arange(64, dtype=np.int32)
     for p, q, trials in [(1.0, 1.0, 64), (0.25, 4.0, 1)]:
         paths, n_fb, n_att = blocked_walk_chunk(
-            bg.light, bg.biw, bg.bids, bg.brp,
+            bg.light, bg.biw, bg.bids, bg.brp, slq_or_dummy(bg),
             jnp.asarray(starts), jnp.asarray(gids), jnp.uint32(11),
             walk_length=7, return_param=p, inout_param=q,
             max_trials=trials, light_width=bg.light_width,
             block_width=bg.block_width, has_heavy=bg.has_heavy,
+            shared_lists=bg.shared_lists,
         )
         steps = int((np.asarray(paths) >= 0).sum()) - len(starts)
         assert steps == 7 * len(starts)  # no sinks -> all walks complete
@@ -289,10 +299,11 @@ def test_sink_death_and_padding():
     starts = jnp.asarray(np.array([0, 3, -1], dtype=np.int32))
     gids = jnp.arange(3, dtype=jnp.int32)
     paths, n_fb, _ = blocked_walk_chunk(
-        bg.light, bg.biw, bg.bids, bg.brp, starts, gids, jnp.uint32(0),
+        bg.light, bg.biw, bg.bids, bg.brp, slq_or_dummy(bg), starts, gids,
+        jnp.uint32(0),
         walk_length=4, return_param=1.0, inout_param=1.0, max_trials=16,
         light_width=bg.light_width, block_width=bg.block_width,
-        has_heavy=bg.has_heavy,
+        has_heavy=bg.has_heavy, shared_lists=bg.shared_lists,
     )
     paths = np.asarray(paths)
     np.testing.assert_array_equal(paths[0], [0, 1, 2, -1, -1])  # dies at sink
@@ -385,3 +396,132 @@ def test_hashrng_uniformity():
     # draws at different counters decorrelate
     u2 = np.asarray(hash_uniform(jnp.uint32(42), gids.astype(jnp.uint32), 8))
     assert abs(np.corrcoef(u, u2)[0, 1]) < 0.05
+
+
+def _two_hub_graph(n_shared=20, n_spokes=300):
+    """Two heavy hubs A=0, B=1 sharing ``n_shared`` common neighbors: the
+    edge A->B has > SL_K shared entries, so its slist OVERFLOWS and lanes
+    arriving at B from A must take the rejection-bound fallback while other
+    lanes use the 3-atom shared-list path."""
+    shared = np.arange(2, 2 + n_shared, dtype=np.int32)
+    a_only = np.arange(2 + n_shared, 2 + n_shared + n_spokes, dtype=np.int32)
+    b_only = a_only + n_spokes
+    src = np.concatenate([
+        np.zeros(1, np.int32),                       # A - B
+        np.zeros(n_shared, np.int32), shared,        # A - shared (both dirs via undirected)
+        np.ones(n_shared, np.int32),                 # B - shared
+        np.zeros(n_spokes, np.int32),                # A - a_only
+        np.ones(n_spokes, np.int32),                 # B - b_only
+    ])
+    dst = np.concatenate([
+        np.ones(1, np.int32),
+        shared, np.full(n_shared, 1, np.int32),
+        shared,
+        a_only,
+        b_only,
+    ])
+    # wait: row 2 above (shared -> 1) duplicates row 3 (1 -> shared) after
+    # undirected mirroring; from_edge_arrays dedups mirrored duplicates
+    rng = np.random.default_rng(3)
+    w = rng.uniform(0.5, 2.0, len(src)).astype(np.float32)
+    w[0] = 60.0  # A - B heavy weight: most step-0 hops take the hub-hub edge
+    return from_edge_arrays(src, dst, w, directed=False)
+
+
+def test_shared_list_overflow_edge_distribution():
+    """The A->B hub-hub edge overflows SL_K shared entries; transitions out
+    of B with prev=A must STILL follow the analytic p/q law (fallback path),
+    while non-overflow lanes run the 3-atom sampler in the same kernel."""
+    from node2vec_tpu.walk.blocked import SL_EDGES_PER_ROW, SL_K, SL_LANES
+
+    p, q = 0.25, 4.0
+    g = _two_hub_graph()
+    bg = build_blocked_graph(g.indptr, g.indices, g.weights, shared_lists=True)
+    assert bg.slq is not None
+    # locate edge A(0) -> B(1): row 0's slot of id 1
+    ids0, _ = g.neighbors(0)
+    e_ab = int(g.indptr[0] + np.where(ids0 == 1)[0][0])
+    slq = np.asarray(bg.slq)
+    lanes = slq[e_ab // SL_EDGES_PER_ROW][
+        (e_ab % SL_EDGES_PER_ROW) * SL_LANES :
+        (e_ab % SL_EDGES_PER_ROW + 1) * SL_LANES
+    ]
+    assert lanes[13] & 1, "A->B must overflow (20 shared > K=8)"
+    # and a hub->shared-neighbor edge must NOT overflow
+    e_as = int(g.indptr[0] + np.where(ids0 == 2)[0][0])
+    lanes2 = slq[e_as // SL_EDGES_PER_ROW][
+        (e_as % SL_EDGES_PER_ROW) * SL_LANES :
+        (e_as % SL_EDGES_PER_ROW + 1) * SL_LANES
+    ]
+    assert not (lanes2[13] & 1)
+
+    params = Node2VecParams(
+        num_walks=30000, walk_length=2, return_param=p, inout_param=q,
+        walker_chunk=1 << 15,
+    )
+    engine = WalkEngine(g, params, strategy="blocked", shared_lists=True)
+    assert engine.bgraph.shared_lists and not engine.bgraph.sl_exhaustive
+    walks = engine.run(seed=23, start_vertices=np.array([0], dtype=np.int32))
+    took = walks[:, 1] == 1  # first hop A -> B
+    nxt = walks[took, 2]
+    assert took.sum() > 1000
+    ids, w = g.neighbors(1)
+    shared = set(g.neighbors(0)[0].tolist()) - {1}
+    bias = np.where(
+        ids == 0, 1.0 / p, np.where(np.isin(ids, list(shared)), 1.0, 1.0 / q)
+    )
+    target = w * bias
+    target = target / target.sum()
+    is_back = ids == 0
+    is_shared = np.isin(ids, list(shared))
+    rest_idx = np.where(~is_back & ~is_shared)[0]
+    bins = [is_back, is_shared]
+    for grp in np.array_split(rest_idx, 6):
+        m = np.zeros(len(ids), bool)
+        m[grp] = True
+        bins.append(m)
+    counts = np.array(
+        [np.isin(nxt, ids[m]).sum() for m in bins], dtype=np.float64
+    )
+    expected = np.array([target[m].sum() for m in bins]) * counts.sum()
+    res = stats.chisquare(counts, expected)
+    assert res.pvalue > 1e-4, (counts, expected)
+
+
+def test_shared_lists_cut_attempts():
+    """On a triangle-rich graph at q>1 the 3-atom sampler must need fewer
+    attempts/step than the rejection-bound sampler — and both stay exact
+    (distribution equality is covered by the chi-square tests above)."""
+    g = _hub_graph()  # ring edges close triangles with the hub
+    kw = dict(num_walks=8, walk_length=8, return_param=0.25, inout_param=4.0)
+    e_on = WalkEngine(
+        g, Node2VecParams(**kw), strategy="blocked", shared_lists=True
+    )
+    assert e_on.bgraph.shared_lists
+    e_on.run(seed=2)
+    bg_off = build_blocked_graph(
+        g.indptr, g.indices, g.weights, shared_lists=False
+    )
+    e_off = WalkEngine(
+        g, Node2VecParams(**kw), strategy="blocked", blocked_graph=bg_off
+    )
+    e_off.run(seed=2)
+    assert e_on.attempt_count < e_off.attempt_count, (
+        e_on.attempt_count, e_off.attempt_count
+    )
+
+
+def test_shared_lists_chunk_invariance():
+    """Chunk invariance must hold with the shared-list sampler active (the
+    slq fetch and 3-atom draws are keyed on the same global counters)."""
+    g = _two_hub_graph()
+    kw = dict(num_walks=3, walk_length=6, return_param=0.25, inout_param=4.0)
+    w_small = WalkEngine(
+        g, Node2VecParams(walker_chunk=128, **kw), strategy="blocked",
+        shared_lists=True,
+    ).run(seed=5)
+    w_big = WalkEngine(
+        g, Node2VecParams(walker_chunk=1 << 15, **kw), strategy="blocked",
+        shared_lists=True,
+    ).run(seed=5)
+    np.testing.assert_array_equal(w_small, w_big)

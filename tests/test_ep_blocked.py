@@ -17,7 +17,11 @@ from node2vec_tpu.parallel.edge_partitioned_blocked import (
     edge_partitioned_blocked_walk,
     partition_blocked_graph,
 )
-from node2vec_tpu.walk.blocked import blocked_walk_chunk, build_blocked_graph
+from node2vec_tpu.walk.blocked import (
+    blocked_walk_chunk,
+    build_blocked_graph,
+    slq_or_dummy,
+)
 
 from test_blocked import _hub_graph
 
@@ -28,12 +32,19 @@ def mesh():
 
 
 def _single_device_walks(g, starts, gids, seed, wl, p, q, max_trials=64):
-    bg = build_blocked_graph(g.indptr, g.indices, g.weights)
+    # shared_lists=False: the EP engine runs the rejection-bound sampler
+    # (per-range slq tables are not implemented), so the bit-match oracle is
+    # the single-device engine in the same mode — both are exact
+    bg = build_blocked_graph(
+        g.indptr, g.indices, g.weights, shared_lists=False
+    )
     paths, _, _ = blocked_walk_chunk(
-        bg.light, bg.biw, bg.bids, bg.brp, jnp.asarray(starts), gids,
+        bg.light, bg.biw, bg.bids, bg.brp, slq_or_dummy(bg),
+        jnp.asarray(starts), gids,
         jnp.uint32(seed), walk_length=wl, return_param=p, inout_param=q,
         max_trials=max_trials, light_width=bg.light_width,
         block_width=bg.block_width, has_heavy=bg.has_heavy,
+        shared_lists=False,
     )
     return np.asarray(paths)
 

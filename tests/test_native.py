@@ -140,3 +140,20 @@ def test_trim_hotspot_native():
     # the kept subset of the hub is not a positional prefix (real sampling)
     hub_kept = wt[s == 0]
     assert hub_kept.max() > 200
+
+
+def test_edge_shared_list_native_matches_fallback(edges, monkeypatch):
+    from node2vec_tpu.walk import blocked
+
+    src, dst, w, n_v = edges
+    ip, ix, wt = csr.build_csr(src, dst, w, n_v)
+    sl_n = blocked._edge_shared_list(ip, ix, wt)  # native path
+    monkeypatch.setattr(native, "available", lambda: False)
+    sl_f = blocked._edge_shared_list(ip, ix, wt)  # per-edge python fallback
+    assert sl_n is not None and sl_f is not None
+    # slot packs, weight bits, rev_eid and overflow flags must agree exactly
+    np.testing.assert_array_equal(sl_n, sl_f)
+    # sanity: at least one edge has a shared entry, at least one has a
+    # reverse edge
+    assert (sl_n[:, 0].view(np.uint32) != 0xFFFFFFFF).any()
+    assert (sl_n[:, 12] >= 0).any()
