@@ -52,6 +52,7 @@ class Node2Vec:
         mesh=None,
         graph_sharded: bool = False,
         table_sharding: str = "column",
+        shared_lists="auto",
     ):
         """``mesh``: optional jax (data × model) Mesh — walks shard walkers
         over 'data' and fit() trains TP×DP sharded (see node2vec_tpu.parallel).
@@ -67,6 +68,10 @@ class Node2Vec:
         rows over all devices with sparse all-to-all gradient routing —
         per-step comm O(batch·D) independent of V, for tables beyond one
         device's HBM.
+
+        ``shared_lists``: the blocked engine's exact 3-atom shared-list
+        sampler (opt-in; see WalkEngine docstring for the measured
+        trade-off).
         """
         if table_sharding not in ("column", "row"):
             raise ValueError(
@@ -87,6 +92,7 @@ class Node2Vec:
         self.mesh = mesh
         self.graph_sharded = graph_sharded
         self.table_sharding = table_sharding
+        self.shared_lists = shared_lists
         self.graph: Optional[Graph] = None
         self.walks: Optional[np.ndarray] = None
         self.backend: Optional[Node2VecTPUEmbedding] = None
@@ -123,7 +129,7 @@ class Node2Vec:
             raise RuntimeError("call preprocess_input_graph() first")
         engine = WalkEngine(
             self.graph, self.n2v_params, mesh=self.mesh,
-            graph_sharded=self.graph_sharded,
+            graph_sharded=self.graph_sharded, shared_lists=self.shared_lists,
         )
         self.walks = engine.run(
             seed=self.random_seed,
@@ -152,7 +158,7 @@ class Node2Vec:
             raise RuntimeError("call preprocess_input_graph() first")
         engine = WalkEngine(
             self.graph, self.n2v_params, mesh=self.mesh,
-            graph_sharded=self.graph_sharded,
+            graph_sharded=self.graph_sharded, shared_lists=self.shared_lists,
         )
         name_id = self.graph.names if self.graph.names is not None else None
         self.backend = Node2VecTPUEmbedding(name_id=name_id, w2v_params=self.w2v_params)

@@ -147,3 +147,39 @@ def test_embedding_backend_df_walks():
     back.fit()
     emb = back.embedding()
     assert len(emb) == 3
+
+
+def test_shared_lists_knob_reaches_engine():
+    """Node2Vec(shared_lists=True) must build and use the slq table (walks
+    stay valid; exactness is covered by the blocked-engine chi-square
+    tests)."""
+    import numpy as np
+
+    from node2vec_tpu import Node2Vec
+
+    rng = np.random.default_rng(0)
+    # hub of degree 400 forces the blocked engine (auto threshold 256),
+    # which is where shared_lists applies
+    hub_dst = np.arange(1, 401, dtype=np.int32)
+    src = np.concatenate([np.zeros(400, np.int32),
+                          rng.integers(1, 401, 300).astype(np.int32)])
+    dst = np.concatenate([hub_dst,
+                          rng.integers(1, 401, 300).astype(np.int32)])
+    keep = src != dst
+    n2v = Node2Vec(
+        n2v_params={"num_walks": 2, "walk_length": 5,
+                    "return_param": 0.5, "inout_param": 2.0},
+        shared_lists=True,
+    )
+    n2v.preprocess_input_graph((src[keep], dst[keep]), directed=False)
+    assert int(n2v.graph.out_degrees().max()) > 256
+    walks = n2v.random_walk()
+    assert walks.shape[1] == 6
+    adj = {
+        v: set(n2v.graph.neighbors(v)[0].tolist())
+        for v in range(n2v.graph.n_vertices)
+    }
+    for row in walks:
+        path = row[row >= 0]
+        for a, b in zip(path[:-1], path[1:]):
+            assert int(b) in adj[int(a)]
