@@ -52,7 +52,8 @@ def run_combo(g, bg, p, q, n_walkers, walk_length, max_trials=64):
     )
     t0 = time.perf_counter()
     paths, n_fb, n_att = blocked_walk_chunk(
-        bg.light, bg.biw, bg.bids, bg.brp, jnp.asarray(starts),
+        bg.light, bg.biw, bg.bids, bg.brp, slq_or_dummy(bg),
+        jnp.asarray(starts),
         jnp.asarray(gids), jnp.uint32(7), **kw
     )
     paths.block_until_ready()
@@ -61,7 +62,8 @@ def run_combo(g, bg, p, q, n_walkers, walk_length, max_trials=64):
     for rep in range(3):
         t0 = time.perf_counter()
         paths, n_fb, n_att = blocked_walk_chunk(
-            bg.light, bg.biw, bg.bids, bg.brp, jnp.asarray(starts),
+            bg.light, bg.biw, bg.bids, bg.brp, slq_or_dummy(bg),
+            jnp.asarray(starts),
             jnp.asarray(gids), jnp.uint32(8 + rep), **kw
         )
         steps = float(jnp.sum(paths >= 0)) - n_walkers

@@ -49,7 +49,9 @@ print(f"graph({GRAPH}) V={g.n_vertices} E={g.n_edges} "
       flush=True)
 
 t0 = time.time()
-bg_on = build_blocked_graph(g.indptr, g.indices, g.weights)
+bg_on = build_blocked_graph(
+    g.indptr, g.indices, g.weights, shared_lists=True
+)
 t_on = time.time() - t0
 bg_off = bg_on._replace(slq=None)
 slq = np.asarray(bg_on.slq)

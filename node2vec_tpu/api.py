@@ -96,6 +96,7 @@ class Node2Vec:
         self.graph: Optional[Graph] = None
         self.walks: Optional[np.ndarray] = None
         self.backend: Optional[Node2VecTPUEmbedding] = None
+        self._engine = None  # cached WalkEngine (graph tables are reusable)
 
     # -- pipeline stages ---------------------------------------------------- #
 
@@ -116,6 +117,7 @@ class Node2Vec:
             random_seed=self.random_seed,
             log1p_weight=log1p_weight,
         )
+        self._engine = None  # packed tables belong to the previous graph
         logger.info(
             "graph preprocessed: %d vertices, %d edges",
             self.graph.n_vertices,
@@ -123,14 +125,23 @@ class Node2Vec:
         )
         return self.graph
 
+    def _walk_engine(self) -> WalkEngine:
+        """Build once, reuse: the packed tables (and the shared-list
+        table, ~15s of host work per 8M edges when opted in) are p/q/seed
+        independent, so random_walk() and run_pipeline() share one engine."""
+        if self._engine is None:
+            self._engine = WalkEngine(
+                self.graph, self.n2v_params, mesh=self.mesh,
+                graph_sharded=self.graph_sharded,
+                shared_lists=self.shared_lists,
+            )
+        return self._engine
+
     def random_walk(self) -> np.ndarray:
         """Generate the walk corpus (reference spark.py:536-614)."""
         if self.graph is None:
             raise RuntimeError("call preprocess_input_graph() first")
-        engine = WalkEngine(
-            self.graph, self.n2v_params, mesh=self.mesh,
-            graph_sharded=self.graph_sharded, shared_lists=self.shared_lists,
-        )
+        engine = self._walk_engine()
         self.walks = engine.run(
             seed=self.random_seed,
             start_vertices=self.walk_seed_vertices,
@@ -156,10 +167,7 @@ class Node2Vec:
         """
         if self.graph is None:
             raise RuntimeError("call preprocess_input_graph() first")
-        engine = WalkEngine(
-            self.graph, self.n2v_params, mesh=self.mesh,
-            graph_sharded=self.graph_sharded, shared_lists=self.shared_lists,
-        )
+        engine = self._walk_engine()
         name_id = self.graph.names if self.graph.names is not None else None
         self.backend = Node2VecTPUEmbedding(name_id=name_id, w2v_params=self.w2v_params)
         n_chunks, chunk_walks, source = engine.chunk_source(

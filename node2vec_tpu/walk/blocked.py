@@ -484,24 +484,33 @@ def build_blocked_graph(
     )
     slq = None
     ovf_wfrac = 1.0
-    if shared_lists and len(indices) <= np.iinfo(np.int32).max:
+    if shared_lists:
+        if len(indices) > np.iinfo(np.int32).max:
+            raise ValueError(
+                "shared_lists=True requires edge ids to fit int32 "
+                f"(graph has {len(indices)} edges)"
+            )
         sl = _edge_shared_list(indptr, indices, weights)
         if sl is None:
-            if shared_lists:
-                raise ValueError(
-                    "shared_lists=True requires the native graph core "
-                    "(or a graph small enough for the numpy fallback)"
-                )
-        else:
-            n_rows = -(-len(indices) // SL_EDGES_PER_ROW)
-            slq_host = np.zeros((max(n_rows, 1), 128), dtype=np.int32)
-            slq_host.reshape(-1)[: sl.size] = sl.reshape(-1)
-            slq = jnp.asarray(slq_host)
-            ovf = (sl[:, 13] & 1).astype(bool)
-            wtot_all = float(weights.sum())
-            ovf_wfrac = (
-                float(weights[ovf].sum()) / wtot_all if wtot_all > 0 else 0.0
+            raise ValueError(
+                "shared_lists=True requires the native graph core "
+                "(or a graph small enough for the numpy fallback)"
             )
+        n_rows = -(-len(indices) // SL_EDGES_PER_ROW)
+        slq_host = np.zeros((max(n_rows, 1), 128), dtype=np.int32)
+        slq_host.reshape(-1)[: sl.size] = sl.reshape(-1)
+        slq = jnp.asarray(slq_host)
+        ovf = (sl[:, 13] & 1).astype(bool)
+        if ovf.any():
+            # sl_exhaustive must key on "NO edge overflowed" — clamp the
+            # weight fraction away from exactly 0 so zero-weight overflow
+            # edges (or degenerate all-zero weights) cannot enable the
+            # membership-free kernel while overflow rows exist
+            wtot_all = float(weights.sum())
+            frac = float(weights[ovf].sum()) / wtot_all if wtot_all > 0 else 1.0
+            ovf_wfrac = max(frac, np.finfo(np.float32).tiny)
+        else:
+            ovf_wfrac = 0.0
     return BlockedGraph(
         light=jnp.asarray(light),
         biw=jnp.asarray(biw),

@@ -56,7 +56,10 @@ def main() -> None:
     )
 
     g = hub_graph()
-    bg = build_blocked_graph(g.indptr, g.indices, g.weights)
+    # shared_lists=True: the cross-process sharded walk then exercises the
+    # slq operand through shard_map (and the EP bit-match below genuinely
+    # needs its separate no-slq oracle)
+    bg = build_blocked_graph(g.indptr, g.indices, g.weights, shared_lists=True)
     n_dev = jax.device_count()
     mesh = make_mesh(n_data=n_dev // 2, n_model=2)
 
