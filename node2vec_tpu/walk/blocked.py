@@ -96,11 +96,14 @@ def _max_blocks(light_width: int) -> int:
     return (4 * light_width - 5) // 2
 
 
-def _light_row_width(light_width: int) -> int:
-    """Physical light-row lanes: 4P data lanes + 1 ebase lane, rounded up to
-    the 128-lane tile (the default P=31 makes this exactly 128 — the ebase
-    lane rides in what would otherwise be physical tile padding)."""
-    return -(-(4 * light_width + 1) // 128) * 128
+def _light_row_width(light_width: int, ebase: bool = False) -> int:
+    """Physical light-row lanes: 4P data lanes (+ 1 ebase lane when the
+    shared-list sampler needs it), rounded up to the 128-lane tile.  The
+    default P=31 makes 4P+1 exactly 128 — the ebase lane rides in what would
+    otherwise be physical tile padding — but explicit P with 4P % 128 == 0
+    (e.g. P=32) must NOT pay a whole extra tile for a lane only the
+    shared-list kernel reads (round-3 advisor finding)."""
+    return -(-(4 * light_width + (1 if ebase else 0)) // 128) * 128
 
 
 class BlockedGraph(NamedTuple):
@@ -295,6 +298,7 @@ def _pack_range(
     hi: int,
     p_l: int,
     c: int,
+    ebase: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Pack vertices [lo, hi) into (light, biw, bids, brp) host arrays.
 
@@ -321,13 +325,14 @@ def _pack_range(
     r_rev = rev_enc[e_lo:e_hi]
     r_pfx = pfx[e_lo:e_hi]
 
-    light = np.empty((n_range, _light_row_width(p_l)), dtype=np.int32)
+    light = np.empty((n_range, _light_row_width(p_l, ebase)), dtype=np.int32)
     light[:, :p_l] = PAD_ID
     light[:, p_l:] = zero_bits
-    # lane 4P: this row's global CSR edge base (indptr[v]) — lets the kernel
-    # turn an accepted slot into a global edge id for the slq fetch without a
-    # separate [W] gather.  Graphs beyond int32 edge counts disable slq.
-    if indptr[hi] <= np.iinfo(np.int32).max:
+    # lane 4P (shared-list builds only): this row's global CSR edge base
+    # (indptr[v]) — lets the kernel turn an accepted slot into a global edge
+    # id for the slq fetch without a separate [W] gather.  Graphs beyond
+    # int32 edge counts disable slq.
+    if ebase and indptr[hi] <= np.iinfo(np.int32).max:
         light[:, 4 * p_l] = indptr[lo:hi].astype(np.int32)
     e_light = np.repeat(~heavy, deg)
     lr = src_rep[e_light]
@@ -480,7 +485,8 @@ def build_blocked_graph(
     _check_capacity(max_deg, p_l, c)
 
     light, biw, bids, brp = _pack_range(
-        indptr, indices, weights, rev_enc, pfx, 0, n_v, p_l, c
+        indptr, indices, weights, rev_enc, pfx, 0, n_v, p_l, c,
+        ebase=shared_lists,
     )
     slq = None
     ovf_wfrac = 1.0

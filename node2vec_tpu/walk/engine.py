@@ -418,6 +418,19 @@ class WalkEngine:
         on = pol if isinstance(pol, bool) else bg.sl_ovf_wfrac <= 0.15
         return on, on and bg.sl_exhaustive
 
+    def _strategy_token(self) -> str:
+        """Strategy string for walk fingerprints: folds in the APPLIED
+        shared-list sampler flags (round-3 advisor finding — toggling
+        shared_lists changes the bit-stream, so checkpoints must not be
+        shared across the toggle).  Mirrors the kernel: with q == 1 the
+        sampler is compiled out and walks are bit-identical either way."""
+        tok = self.strategy
+        if self.strategy == "blocked" and self.params.inout_param != 1.0:
+            use_sl, sl_ex = self._sl_flags()
+            if use_sl:
+                tok += "+slx" if sl_ex else "+sl"
+        return tok
+
     def _effective_chunk(self, n_total: int) -> int:
         chunk = min(self.params.walker_chunk, max(n_total, 1))
         if self.strategy == "dense":
@@ -428,7 +441,7 @@ class WalkEngine:
             # bound the carried per-walker state (row + prev_mem + path,
             # + the shared-list row and its 128-lane fetch when enabled)
             per_walker = 6 * self.bgraph.light_width + self.params.walk_length
-            if self.bgraph.shared_lists:
+            if self._sl_flags()[0]:
                 per_walker += 144
             w_cap = max(1024, (1 << 26) // per_walker)
             chunk = min(chunk, w_cap)
@@ -663,7 +676,7 @@ class WalkEngine:
 
         fp = walk_fingerprint(
             p, seed, starts_one, g.n_vertices,
-            graph_token=self.graph_token, strategy=self.strategy,
+            graph_token=self.graph_token, strategy=self._strategy_token(),
         )
         done = load_walk_chunks(checkpoint_dir, fingerprint=fp)
         out = np.empty((n_total, p.walk_length + 1), dtype=np.int32)

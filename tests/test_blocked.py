@@ -525,3 +525,67 @@ def test_shared_lists_chunk_invariance():
         shared_lists=True,
     ).run(seed=5)
     np.testing.assert_array_equal(w_small, w_big)
+
+
+def test_light_row_width_ebase_only_for_shared_lists():
+    """The ebase lane (global CSR edge base, read only by the shared-list
+    kernel) must not widen the light row when shared lists are off — an
+    explicit light_width=32 (4P=128) previously rounded 129 lanes up to a
+    second 128-lane tile, doubling light-table HBM (round-3 advisor)."""
+    from node2vec_tpu.walk.blocked import _light_row_width
+
+    assert _light_row_width(31) == 128
+    assert _light_row_width(31, ebase=True) == 128  # rides the tile padding
+    assert _light_row_width(32) == 128  # was 256 before the fix
+    assert _light_row_width(32, ebase=True) == 256
+
+    g = _hub_graph(hub_deg=60)
+    bg = build_blocked_graph(g.indptr, g.indices, g.weights, light_width=32)
+    assert bg.light.shape[1] == 128
+    bg_sl = build_blocked_graph(
+        g.indptr, g.indices, g.weights, light_width=32, shared_lists=True
+    )
+    assert bg_sl.light.shape[1] == 256
+    # the ebase-free P=32 layout must still produce valid biased walks
+    params = Node2VecParams(
+        num_walks=6, walk_length=6, return_param=0.5, inout_param=2.0
+    )
+    walks = WalkEngine(
+        g, params, strategy="blocked", blocked_graph=bg
+    ).run(seed=3)
+    edge_set = {
+        (int(s), int(d))
+        for s in range(g.n_vertices)
+        for d in g.neighbors(s)[0]
+    }
+    for row in np.asarray(walks):
+        for a, b in zip(row[:-1], row[1:]):
+            if a >= 0 and b >= 0:
+                assert (int(a), int(b)) in edge_set
+
+
+def test_effective_chunk_headroom_keyed_on_applied_flags():
+    """The +144/walker shared-list headroom must key on the APPLIED sampler
+    flags, not mere table presence: shared_lists='auto' with a high-overflow
+    prebuilt table compiles the sampler OFF, so chunks must not shrink for
+    state the kernel does not carry (round-3 advisor)."""
+    g = _hub_graph(hub_deg=60)
+    bg = build_blocked_graph(
+        g.indptr, g.indices, g.weights, shared_lists=True
+    )
+    bg_high = bg._replace(sl_ovf_wfrac=0.5)  # above the 0.15 auto threshold
+    params = Node2VecParams(
+        num_walks=2, walk_length=20, walker_chunk=1 << 30, inout_param=2.0
+    )
+    e_auto = WalkEngine(
+        g, params, strategy="blocked", blocked_graph=bg_high,
+        shared_lists="auto",
+    )
+    assert not e_auto._sl_flags()[0]  # policy compiled the sampler off
+    e_on = WalkEngine(
+        g, params, strategy="blocked", blocked_graph=bg_high,
+        shared_lists=True,
+    )
+    assert e_on._sl_flags()[0]
+    big = 1 << 30
+    assert e_auto._effective_chunk(big) > e_on._effective_chunk(big)

@@ -168,3 +168,31 @@ def test_sharded_checkpoint_resume(tmp_path):
         )
         assert len(mid._losses) == 2  # epochs 3 and 4 only
         assert np.isfinite(mid.vectors).all()
+
+
+def test_walk_checkpoint_rejects_shared_list_toggle(tmp_path):
+    """Toggling the shared-list sampler changes the walk bit-stream, so a
+    checkpoint dir written with it off must not serve chunks to a run with
+    it on (round-3 advisor: walk_fingerprint omitted the sampler mode)."""
+    from node2vec_tpu.walk import WalkEngine
+
+    rng = np.random.default_rng(7)
+    n = 40
+    # clustered random graph: plenty of triangles for the 3-atom sampler
+    src = rng.integers(0, n, 400).astype(np.int32)
+    dst = (src + rng.integers(1, 6, 400)).astype(np.int32) % n
+    g = from_edge_arrays(src, dst, directed=False)
+    params = Node2VecParams(
+        num_walks=4, walk_length=6, walker_chunk=40, inout_param=2.0
+    )
+    eng_off = WalkEngine(g, params, strategy="blocked", shared_lists=False)
+    eng_on = WalkEngine(g, params, strategy="blocked", shared_lists=True)
+    assert eng_off._strategy_token() == "blocked"
+    assert eng_on._strategy_token() in ("blocked+sl", "blocked+slx")
+
+    ck = str(tmp_path / "walks")
+    w_off = eng_off.run(seed=5, checkpoint_dir=ck)
+    w_on_fresh = eng_on.run(seed=5)
+    assert not np.array_equal(w_off, w_on_fresh)  # streams really differ
+    w_on = eng_on.run(seed=5, checkpoint_dir=ck)  # must ignore off-chunks
+    np.testing.assert_array_equal(w_on, w_on_fresh)
