@@ -187,6 +187,12 @@ class Word2VecParams:
     # THERE; 0 here = off, matching spark.ml which has no subsampling)
     sample: float = 0.0
     cbow_mean: bool = True  # CBOW hidden = mean (gensim default) vs sum
+    # hierarchical softmax: HARD cap on the padded Huffman code length, on
+    # top of the automatic count-weighted tail cap (gensim's MAX_CODE_LENGTH
+    # analogue; 0 = no hard cap).  Also the documented workaround for a
+    # shape-specific TPU remote-compile failure at CL 19 (BASELINE.md r3):
+    # set hs_max_code_length=18
+    hs_max_code_length: int = 0
 
     def __post_init__(self) -> None:
         if not 5 <= self.window_size <= 30:
@@ -201,6 +207,11 @@ class Word2VecParams:
             raise ValueError(f"sg must be 0 (CBOW) or 1 (skip-gram), got {self.sg}")
         if self.sample < 0:
             raise ValueError(f"sample must be >= 0, got {self.sample}")
+        if self.hs_max_code_length < 0:
+            raise ValueError(
+                f"hs_max_code_length must be >= 0 (0 = no hard cap), "
+                f"got {self.hs_max_code_length}"
+            )
 
     @classmethod
     def from_dict(cls, d: Optional[Mapping[str, Any]]) -> "Word2VecParams":

@@ -127,7 +127,10 @@ def build_huffman(counts: np.ndarray) -> HuffmanTree:
 
 
 def cap_code_length(
-    tree: HuffmanTree, counts: np.ndarray, tail_mass: float = 1e-3
+    tree: HuffmanTree,
+    counts: np.ndarray,
+    tail_mass: float = 1e-3,
+    max_len: int | None = None,
 ) -> HuffmanTree:
     """Cap CODE_LEN at the count-weighted tail: the smallest L whose
     truncated path entries carry <= ``tail_mass`` of the corpus-weighted
@@ -140,18 +143,29 @@ def cap_code_length(
     trains rare vertices on a prefix of their Huffman code (gensim's
     MAX_CODE_LENGTH=40 analogously drops long codes); frequent vertices are
     untouched, and the affected probability mass is bounded by tail_mass.
+
+    ``max_len`` additionally applies a HARD cap regardless of tail mass —
+    the documented workaround for shape-specific backend failures (one
+    CL-19/10-level tree program runs on the CPU backend but fails through
+    the TPU remote-compile service, BASELINE.md round 3; ``max_len=18``
+    sidesteps it with bounded quality impact).
     """
     w = np.maximum(np.asarray(counts, dtype=np.float64), 0.0)
     lens = tree.lengths.astype(np.int64)
     total = float((w * lens).sum())
+    tree_len = int(tree.points.shape[1])
     if total <= 0:
-        return tree
-    max_len = int(tree.points.shape[1])
-    for cap in range(1, max_len + 1):
-        truncated = float((w * np.maximum(lens - cap, 0)).sum())
-        if truncated / total <= tail_mass:
-            break
-    if cap >= max_len:
+        if max_len is None or tree_len <= max_len:
+            return tree
+        cap = max_len
+    else:
+        for cap in range(1, tree_len + 1):
+            truncated = float((w * np.maximum(lens - cap, 0)).sum())
+            if truncated / total <= tail_mass:
+                break
+        if max_len is not None:
+            cap = min(cap, max_len)
+    if cap >= tree_len:
         return tree
     return HuffmanTree(
         points=np.ascontiguousarray(tree.points[:, :cap]),
@@ -393,7 +407,7 @@ def _hs_epoch_impl(
     return (*state, losses)
 
 
-hs_epoch = functools.partial(
+_hs_epoch_jit = functools.partial(
     jax.jit,
     static_argnames=(
         "batch", "n_batches", "window", "shrink_window", "min_lr",
@@ -401,3 +415,28 @@ hs_epoch = functools.partial(
     ),
     donate_argnames=("emb_in", "theta", "acc_in", "acc_theta"),
 )(_hs_epoch_impl)
+
+
+def hs_epoch(emb_in, theta, acc_in, acc_theta, *args, **kwargs):
+    """Whole-epoch HS trainer.  DONATES its four state buffers — callers
+    must thread the returned ``(emb_in, theta, acc_in, acc_theta, losses)``
+    state into the next call.  On backends that support donation (TPU) the
+    passed-in buffers are consumed; reusing them previously died at execute
+    time with an opaque INVALID_ARGUMENT (BASELINE.md round 3), so misuse
+    is now caught here with a clear error."""
+    for name, x in (
+        ("emb_in", emb_in), ("theta", theta),
+        ("acc_in", acc_in), ("acc_theta", acc_theta),
+    ):
+        try:
+            deleted = isinstance(x, jax.Array) and x.is_deleted()
+        except Exception:  # tracers inside jit have no buffer state
+            deleted = False
+        if deleted:
+            raise ValueError(
+                f"hs_epoch: state argument '{name}' was already donated to "
+                "a previous hs_epoch call (its device buffer is deleted). "
+                "Thread the returned state instead of reusing inputs: "
+                "emb_in, theta, acc_in, acc_theta, losses = hs_epoch(...)"
+            )
+    return _hs_epoch_jit(emb_in, theta, acc_in, acc_theta, *args, **kwargs)

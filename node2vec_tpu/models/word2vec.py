@@ -286,7 +286,8 @@ class Word2VecTPU:
             )
 
             tree = cap_code_length(
-                build_huffman(self.vocab.counts), self.vocab.counts
+                build_huffman(self.vocab.counts), self.vocab.counts,
+                max_len=self.params.hs_max_code_length or None,
             )
             hs_points = jnp.asarray(tree.points)
             hs_codes = jnp.asarray(tree.codes)
@@ -432,7 +433,8 @@ class Word2VecTPU:
         p = self.params
         n_v = self.vocab.n_vertices
         tree = cap_code_length(
-            build_huffman(self.vocab.counts), self.vocab.counts
+            build_huffman(self.vocab.counts), self.vocab.counts,
+            max_len=self.params.hs_max_code_length or None,
         )
         hs_points = jnp.asarray(tree.points)
         hs_codes = jnp.asarray(tree.codes)
@@ -550,7 +552,8 @@ class Word2VecTPU:
             )
 
             tree = cap_code_length(
-                build_huffman(self.vocab.counts), self.vocab.counts
+                build_huffman(self.vocab.counts), self.vocab.counts,
+                max_len=self.params.hs_max_code_length or None,
             )
             hs_points = jnp.asarray(tree.points)
             hs_codes = jnp.asarray(tree.codes)
@@ -719,7 +722,8 @@ class Word2VecTPU:
             )
 
             tree = cap_code_length(
-                build_huffman(self.vocab.counts), self.vocab.counts
+                build_huffman(self.vocab.counts), self.vocab.counts,
+                max_len=self.params.hs_max_code_length or None,
             )
             hs_points = jax.device_put(jnp.asarray(tree.points), rep)
             hs_codes = jax.device_put(jnp.asarray(tree.codes), rep)
@@ -1170,7 +1174,10 @@ class Word2VecTPU:
             raise ValueError(f"No vertex meets min_count={p.min_count}")
         n_dev = int(np.prod([mesh.shape[a] for a in AXES]))
 
-        tree = cap_code_length(build_huffman(self.vocab.counts), self.vocab.counts)
+        tree = cap_code_length(
+            build_huffman(self.vocab.counts), self.vocab.counts,
+            max_len=self.params.hs_max_code_length or None,
+        )
         rep = NamedSharding(mesh, Pspec())
         hs_points = jax.device_put(jnp.asarray(tree.points), rep)
         hs_codes = jax.device_put(jnp.asarray(tree.codes), rep)

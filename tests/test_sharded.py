@@ -48,7 +48,8 @@ def test_sharded_walks_valid(mesh_flat, karate_edges):
         dg.prob,
         dg.wtot,
         starts,
-        jax.random.PRNGKey(0),
+        jnp.arange(32, dtype=jnp.int32),
+        jnp.uint32(0),
         walk_length=6,
         return_param=0.5,
         inout_param=2.0,
@@ -72,13 +73,38 @@ def test_sharded_walks_shards_differ(mesh_flat, karate_edges):
     paths = np.asarray(
         sharded_walk_chunk(
             mesh_flat, g.indptr, g.indices, g.weights, g.alias, g.prob,
-            g.wtot, starts,
-            jax.random.PRNGKey(3), walk_length=8, return_param=1.0,
+            g.wtot, starts, jnp.arange(32, dtype=jnp.int32),
+            jnp.uint32(3), walk_length=8, return_param=1.0,
             inout_param=1.0, search_iters=6,
         )
     )
     # walkers on different devices took different trajectories
     assert len({tuple(r) for r in paths}) > 8
+
+
+def test_sharded_csr_walks_bit_match_single_device(mesh_flat, karate_edges):
+    """The CSR engine's counter-keyed RNG makes sharded output bit-identical
+    to the single-device engine for the same gids (round-4: the fallback
+    joined the dense/blocked layout-invariance contract)."""
+    from node2vec_tpu.walk.engine import walk_chunk
+
+    src, dst = karate_edges
+    g = from_edge_arrays(src, dst, directed=False).to_device()
+    starts = jnp.arange(32, dtype=jnp.int32) % 34
+    gids = jnp.arange(32, dtype=jnp.int32)
+    kw = dict(
+        walk_length=6, return_param=0.25, inout_param=4.0, search_iters=6,
+        max_trials=64,
+    )
+    sharded = sharded_walk_chunk(
+        mesh_flat, g.indptr, g.indices, g.weights, g.alias, g.prob, g.wtot,
+        starts, gids, jnp.uint32(11), **kw,
+    )
+    single = walk_chunk(
+        g.indptr, g.indices, g.weights, g.alias, g.prob, g.wtot,
+        starts, gids, jnp.uint32(11), **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(single))
 
 
 def test_sharded_dense_walks_valid(mesh_flat, karate_edges):

