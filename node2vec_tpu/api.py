@@ -137,6 +137,16 @@ class Node2Vec:
             )
         return self._engine
 
+    def _stream_source_token(self, engine: WalkEngine) -> str:
+        """Identity of the virtual walk corpus for streaming-checkpoint
+        fingerprints: graph content + walk params + seed + engine/sampler."""
+        starts = self.walk_seed_vertices
+        return (
+            f"{engine.graph_token}|{self.n2v_params!r}|{self.random_seed}|"
+            f"{engine._strategy_token()}|"
+            f"{None if starts is None else list(map(int, starts))}"
+        )
+
     def random_walk(self) -> np.ndarray:
         """Generate the walk corpus (reference spark.py:536-614)."""
         if self.graph is None:
@@ -176,25 +186,29 @@ class Node2Vec:
         if streaming is None:
             # auto: stream whenever the corpus spans multiple chunks; the
             # mesh path streams too when the table layout supports it (row).
-            # A checkpoint_dir disables auto-streaming: the streaming
-            # trainers have no train-state checkpoint support, and silently
-            # dropping requested resumability would be worse than
-            # materializing the corpus.
-            streaming = (
-                n_chunks > 1
-                and self.checkpoint_dir is None
-                and (self.mesh is None or self.table_sharding == "row")
+            # A checkpoint_dir disables the auto choice only on the MESH
+            # streaming path (fit_streaming_sharded has no train-state
+            # checkpoint yet); single-device streaming resumes from
+            # chunk-boundary snapshots.
+            streaming = n_chunks > 1 and (
+                self.mesh is None
+                or (
+                    self.table_sharding == "row"
+                    and self.checkpoint_dir is None
+                )
             )
-        elif streaming and self.checkpoint_dir is not None:
+        elif streaming and self.mesh is not None and self.checkpoint_dir:
             logger.warning(
-                "streaming training does not checkpoint train state; "
+                "mesh streaming training does not checkpoint train state; "
                 "checkpoint_dir=%r only covers walk chunks via "
                 "random_walk() (pass streaming=False for resumable "
                 "training)", self.checkpoint_dir,
             )
         if streaming and self.mesh is None:
             self.backend.model.fit_streaming(
-                source, n_chunks, self.graph.n_vertices, verbose=verbose
+                source, n_chunks, self.graph.n_vertices, verbose=verbose,
+                checkpoint_dir=self.checkpoint_dir,
+                source_token=self._stream_source_token(engine),
             )
             self.walks = None  # virtual corpus: regenerate via random_walk()
             return self.backend.model

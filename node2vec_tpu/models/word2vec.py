@@ -239,6 +239,9 @@ class Word2VecTPU:
         n_vertices: int,
         verbose: bool = False,
         timer=None,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every_chunks: int = 0,
+        source_token: str = "",
     ) -> "Word2VecTPU":
         """Train over a VIRTUAL corpus: ``walk_source(i)`` regenerates walk
         chunk i on device (WalkEngine.chunk_source).
@@ -253,13 +256,40 @@ class Word2VecTPU:
         Shuffling is hierarchical: chunk order per epoch + on-device within-
         chunk permutation (vs the materialized path's global shuffle — the
         standard streaming-word2vec tradeoff).
+
+        With ``checkpoint_dir``, chunk-boundary snapshots of (cursor, tables,
+        Adagrad state, losses, pass-1 counts) are written at every epoch end
+        and — when ``checkpoint_every_chunks`` > 0 — every that many chunks;
+        a restarted call resumes mid-run and reproduces the uninterrupted
+        trajectory bit-for-bit (all RNG is keyed on absolute (epoch, chunk)
+        indices).  ``source_token`` should identify the walk source (graph
+        digest + walk params + walk seed) so snapshots are never resumed
+        against a different virtual corpus.
         """
         from node2vec_tpu.models.vocab import build_vocab_from_counts
+        from node2vec_tpu.utils.checkpoint import (
+            load_stream_state,
+            save_stream_state,
+            stream_fingerprint,
+        )
 
         p = self.params
-        counts_host, length = _streaming_counts(
-            walk_source, n_chunks, n_vertices
-        )
+        fp = stream_fingerprint(p, n_chunks, n_vertices, token=source_token)
+        resume = load_stream_state(checkpoint_dir, fp)
+        chunk_walks = None
+        cur_losses = np.zeros(0, np.float32)
+        start_epoch = start_chunk = 0
+        if resume is not None:
+            (start_epoch, start_chunk, e_in_r, e_out_r, a_in_r, a_out_r,
+             prev_losses, cur_losses, counts_host, chunk_walks) = resume
+            logger.info(
+                "resuming streaming training at epoch %d chunk %d",
+                start_epoch, start_chunk,
+            )
+        else:
+            counts_host, _ = _streaming_counts(
+                walk_source, n_chunks, n_vertices
+            )
         self.vocab = build_vocab_from_counts(
             counts_host, min_count=p.min_count, ns_exponent=p.ns_exponent
         )
@@ -297,18 +327,53 @@ class Word2VecTPU:
             # streaming loop below is objective-agnostic
             emb_out = jnp.zeros((tree.n_inner, p.vector_size), jnp.float32)
             acc_out = jnp.zeros((tree.n_inner,), jnp.float32)
+        if resume is not None:
+            emb_in = jnp.asarray(e_in_r)
+            emb_out = jnp.asarray(e_out_r)
+            acc_in = jnp.asarray(a_in_r)
+            acc_out = jnp.asarray(a_out_r)
         root_key = jax.random.PRNGKey(p.seed)
         rng = np.random.default_rng(p.seed)
+        # all epochs' chunk orders up front: a resume must replay the exact
+        # permutation stream of the uninterrupted run
+        orders = [rng.permutation(n_chunks) for _ in range(p.max_iter)]
 
-        self._losses = []
-        chunk_walks = None
+        self._losses = (
+            [float(x) for x in prev_losses] if resume is not None else []
+        )
+        batch = n_batches = lr_slope = None
         step0 = 0
+        if chunk_walks is not None:  # resume: geometry known from snapshot
+            batch = min(p.batch_walks, chunk_walks)
+            n_batches = chunk_walks // batch
+            lr_slope = p.step_size / max(p.max_iter * n_chunks * n_batches, 1)
+            step0 = (start_epoch * n_chunks + start_chunk) * n_batches
+
+        def _snapshot(epoch_next, chunk_next, state, epoch_losses):
+            cur = (
+                np.concatenate([np.asarray(x) for x in epoch_losses])
+                if epoch_losses
+                else np.zeros(0, np.float32)
+            )
+            save_stream_state(
+                checkpoint_dir, fp, epoch_next, chunk_next,
+                np.asarray(state[0]), np.asarray(state[1]),
+                np.asarray(state[2]), np.asarray(state[3]),
+                np.asarray(self._losses, np.float32), cur,
+                counts=counts_host, chunk_walks=chunk_walks or 0,
+            )
+
         # total steps for the LR schedule: computed from chunk geometry
-        for epoch in range(p.max_iter):
-            order = rng.permutation(n_chunks)
-            pending = walk_source(int(order[0]))
+        for epoch in range(start_epoch, p.max_iter):
+            order = orders[epoch]
+            skip = start_chunk if epoch == start_epoch else 0
+            if skip >= n_chunks:
+                continue  # defensive: epoch-end snapshots normalize to (e+1, 0)
             epoch_losses = []
-            for i in range(n_chunks):
+            if epoch == start_epoch and len(cur_losses):
+                epoch_losses.append(jnp.asarray(cur_losses))
+            pending = walk_source(int(order[skip]))
+            for i in range(skip, n_chunks):
                 nxt = (
                     walk_source(int(order[i + 1]))
                     if i + 1 < n_chunks
@@ -316,14 +381,21 @@ class Word2VecTPU:
                 )
                 corpus = pending
                 n_walks_c = corpus.shape[0]
-                batch = min(p.batch_walks, n_walks_c)
-                n_batches = n_walks_c // batch
                 if chunk_walks is None:
                     chunk_walks = n_walks_c
+                    batch = min(p.batch_walks, n_walks_c)
+                    n_batches = n_walks_c // batch
                     total_steps = max(
                         p.max_iter * n_chunks * n_batches, 1
                     )
                     lr_slope = p.step_size / total_steps
+                elif n_walks_c != chunk_walks:
+                    raise ValueError(
+                        f"walk_source chunk {int(order[i])} has "
+                        f"{n_walks_c} walks, expected {chunk_walks} — "
+                        "streaming requires constant chunk shapes "
+                        "(WalkEngine.chunk_source pads every chunk)"
+                    )
                 k_sh = jax.random.fold_in(
                     root_key, 7_000_000 + epoch * n_chunks + i
                 )
@@ -395,6 +467,16 @@ class Word2VecTPU:
                 step0 += n_batches
                 epoch_losses.append(losses)
                 pending = nxt
+                if (
+                    checkpoint_dir
+                    and checkpoint_every_chunks > 0
+                    and i + 1 < n_chunks
+                    and (i + 1) % checkpoint_every_chunks == 0
+                ):
+                    _snapshot(
+                        epoch, i + 1, (emb_in, emb_out, acc_in, acc_out),
+                        epoch_losses,
+                    )
             self._losses.append(
                 float(jnp.mean(jnp.concatenate(epoch_losses)))
             )
@@ -402,6 +484,10 @@ class Word2VecTPU:
                 logger.info(
                     "streaming epoch %d/%d loss=%.4f", epoch + 1, p.max_iter,
                     self._losses[-1],
+                )
+            if checkpoint_dir:
+                _snapshot(
+                    epoch + 1, 0, (emb_in, emb_out, acc_in, acc_out), []
                 )
         self.emb_in = emb_in
         self.emb_out = emb_out

@@ -180,3 +180,98 @@ def load_train_state(
         z["acc_in"],
         z["acc_out"],
     )
+
+
+def stream_fingerprint(
+    params, n_chunks: int, n_vertices: int, token: str = ""
+) -> str:
+    """Hash of everything that determines the streaming training trajectory.
+    The chunk geometry is part of it (the chunk permutation, LR schedule,
+    and per-chunk shuffles are keyed on chunk indices); ``token`` carries
+    the walk source's identity (graph digest + walk params + walk seed) so
+    a checkpoint is never resumed against a different virtual corpus."""
+    h = hashlib.sha256()
+    h.update(repr(params).encode())
+    h.update(f"|chunks={n_chunks}|V={n_vertices}|src={token}|".encode())
+    return h.hexdigest()[:32]
+
+
+def save_stream_state(
+    checkpoint_dir: str,
+    fingerprint: str,
+    epoch: int,
+    chunk: int,
+    emb_in: np.ndarray,
+    emb_out: np.ndarray,
+    acc_in: np.ndarray,
+    acc_out: np.ndarray,
+    epoch_losses: np.ndarray,
+    cur_losses: np.ndarray,
+    counts: np.ndarray,
+    chunk_walks: int,
+) -> str:
+    """Chunk-boundary snapshot of a streaming training run: tables + Adagrad
+    state + (epoch, next-chunk) cursor + loss bookkeeping + the pass-1
+    vocabulary counts (so a resume skips re-walking the whole corpus for
+    counting).  The reference checkpoints its hot loop every 10 steps
+    (spark.py:597-598)."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.join(checkpoint_dir, "stream_state.npz")
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(
+        tmp,
+        version=np.int64(TRAIN_STATE_VERSION),
+        fingerprint=np.str_(fingerprint),
+        epoch=np.int64(epoch),
+        chunk=np.int64(chunk),
+        emb_in=emb_in,
+        emb_out=emb_out,
+        acc_in=acc_in,
+        acc_out=acc_out,
+        epoch_losses=np.asarray(epoch_losses, np.float32),
+        cur_losses=np.asarray(cur_losses, np.float32),
+        counts=np.asarray(counts, np.int64),
+        chunk_walks=np.int64(chunk_walks),
+    )
+    os.replace(tmp, path)
+    return path
+
+
+def load_stream_state(checkpoint_dir: Optional[str], fingerprint: str):
+    """Newest streaming snapshot, or None.  A snapshot written under a
+    different configuration (params/chunk geometry/walk source) or an older
+    format version is ignored loudly — resuming it would splice two
+    different training trajectories."""
+    if not checkpoint_dir:
+        return None
+    path = os.path.join(checkpoint_dir, "stream_state.npz")
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    stored_v = int(z["version"]) if "version" in z else 1
+    if stored_v != TRAIN_STATE_VERSION:
+        logger.warning(
+            "streaming checkpoint %s has format version %d (current %d); "
+            "ignoring it", path, stored_v, TRAIN_STATE_VERSION,
+        )
+        return None
+    stored_fp = str(z["fingerprint"])
+    if stored_fp != fingerprint:
+        logger.warning(
+            "streaming checkpoint %s was written by a different "
+            "configuration (fingerprint %s != %s); ignoring it",
+            path, stored_fp, fingerprint,
+        )
+        return None
+    return (
+        int(z["epoch"]),
+        int(z["chunk"]),
+        z["emb_in"],
+        z["emb_out"],
+        z["acc_in"],
+        z["acc_out"],
+        z["epoch_losses"],
+        z["cur_losses"],
+        z["counts"],
+        int(z["chunk_walks"]),
+    )

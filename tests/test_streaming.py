@@ -207,3 +207,114 @@ def test_run_pipeline_full_production_config():
     intra = (sim[:12, :12].sum() - 12) / (12 * 11)
     inter = sim[:12, 12:].mean()
     assert intra - inter > 0.2, (intra, inter)
+
+
+def test_streaming_checkpoint_kill_and_resume(tmp_path):
+    """The streaming trainer's chunk-boundary checkpoints: a run killed
+    mid-epoch resumes from the last snapshot and reproduces the
+    UNINTERRUPTED run bit-for-bit (round-3 VERDICT item 4; the reference
+    checkpoints its hot loop every 10 steps, spark.py:597-598)."""
+    import pytest
+
+    g = _clique_graph()
+    params = Node2VecParams(num_walks=20, walk_length=8, walker_chunk=128)
+    eng = WalkEngine(g, params)
+    n_chunks, chunk, source = eng.chunk_source(seed=0)
+    assert n_chunks >= 3
+    for negative in (5, 0):  # SGNS and the reference-default HS objective
+        w2v = Word2VecParams(
+            min_count=1, vector_size=32, max_iter=3, batch_walks=64,
+            negative=negative,
+        )
+        token = f"test-src-{negative}"
+        m_ref = Word2VecTPU(w2v).fit_streaming(source, n_chunks, g.n_vertices)
+        ck = str(tmp_path / f"stream_{negative}")
+
+        calls = {"n": 0}
+
+        def crashing(i):
+            calls["n"] += 1
+            # pass-1 counting consumes n_chunks calls; die partway into
+            # the first training epoch, after >= 1 snapshot was written
+            if calls["n"] > n_chunks + 3:
+                raise RuntimeError("simulated kill")
+            return source(i)
+
+        with pytest.raises(RuntimeError, match="simulated kill"):
+            Word2VecTPU(w2v).fit_streaming(
+                crashing, n_chunks, g.n_vertices, checkpoint_dir=ck,
+                checkpoint_every_chunks=1, source_token=token,
+            )
+        import os
+
+        assert os.path.exists(os.path.join(ck, "stream_state.npz"))
+
+        # resume: completes the run; tables + losses bit-match uninterrupted
+        m2 = Word2VecTPU(w2v).fit_streaming(
+            source, n_chunks, g.n_vertices, checkpoint_dir=ck,
+            checkpoint_every_chunks=1, source_token=token,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m2.emb_in), np.asarray(m_ref.emb_in)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m2.emb_out), np.asarray(m_ref.emb_out)
+        )
+        assert m2._losses == pytest.approx(m_ref._losses)
+
+        # resume-at-completion: no retraining, final state straight off disk
+        m3 = Word2VecTPU(w2v).fit_streaming(
+            source, n_chunks, g.n_vertices, checkpoint_dir=ck,
+            source_token=token,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m3.emb_in), np.asarray(m_ref.emb_in)
+        )
+        assert m3._losses == pytest.approx(m_ref._losses)
+
+        # a different source token must NOT resume (stale-trajectory guard):
+        # the run trains from scratch and still matches the reference
+        m4 = Word2VecTPU(w2v).fit_streaming(
+            source, n_chunks, g.n_vertices, checkpoint_dir=ck,
+            source_token="other-corpus",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m4.emb_in), np.asarray(m_ref.emb_in)
+        )
+
+
+def test_run_pipeline_streaming_with_checkpoint_dir(tmp_path):
+    """run_pipeline(streaming auto, checkpoint_dir=...) now STREAMS and
+    checkpoints train state (previously it silently fell back to
+    materialized training); a second call resumes at completion."""
+    import os
+
+    from node2vec_tpu import Node2Vec
+
+    g = _clique_graph()
+    src = np.repeat(np.arange(g.n_vertices), np.diff(g.indptr))
+    import pandas as pd
+
+    df = pd.DataFrame({"src": src, "dst": g.indices})
+    ck = str(tmp_path / "pipe")
+    kw = dict(
+        n2v_params={"num_walks": 30, "walk_length": 8, "walker_chunk": 128},
+        w2v_params={"min_count": 1, "vector_size": 32, "max_iter": 2,
+                    "batch_walks": 64},
+        random_seed=5,
+        checkpoint_dir=ck,
+    )
+    n2v = Node2Vec(**kw)
+    n2v.preprocess_input_graph(df, indexed=True, directed=False)
+    model = n2v.run_pipeline()
+    assert n2v.walks is None  # streamed: virtual corpus
+    assert os.path.exists(os.path.join(ck, "stream_state.npz"))
+    losses1 = list(model._losses)
+
+    n2v2 = Node2Vec(**kw)
+    n2v2.preprocess_input_graph(df, indexed=True, directed=False)
+    model2 = n2v2.run_pipeline()
+    np.testing.assert_array_equal(
+        np.asarray(model2.emb_in), np.asarray(model.emb_in)
+    )
+    assert list(model2._losses) == losses1
