@@ -1,0 +1,592 @@
+"""Distributed (per-shard) host-side graph build.
+
+The monolithic pipeline (``graph/ingest.py::build_graph`` +
+``parallel/edge_partitioned_blocked.py::partition_blocked_graph``) requires
+one host to hold the entire raw edge list.  The reference does NOT: indexing,
+trimming, and adjacency grouping are distributed Spark jobs
+(``/root/reference/node2vec/spark.py:496-534``, zipWithIndex indexing at
+``spark.py:511-520``).  This module is the TPU-native equivalent: every build
+stage runs per-process on an edge-list SHARD, with bulk-synchronous
+range-exchange steps replacing Spark's shuffles.
+
+Design: a build *participant* is a Python generator.  All cross-participant
+communication happens through ``recv = yield send`` where ``send[j]`` is an
+int64 ``[n_j, W]`` payload for peer j and ``recv[j]`` the payload peer j sent
+this participant.  Two drivers execute participants:
+
+* ``run_local`` — lockstep in one process (unit tests / single host);
+* ``run_distributed`` — one participant per JAX process; each exchange is a
+  REAL padded ``lax.all_to_all`` over the device mesh (gloo across CPU
+  processes in tests; ICI/DCN on a TPU pod), so no host ever materializes
+  more than its own shard plus one exchange round's buckets.
+
+Stages (each bit-matches the monolithic build — tested):
+
+1. **Indexing** (``indexed=False``, integer names): sample-splitter ranges
+   (TeraSort-style), per-range sort-unique, size prefix-sum for the global
+   id base — exactly the reference's ``sortBy + zipWithIndex`` semantics
+   (sorted-unique global ids, identical to ``np.unique``); endpoint lookups
+   are routed queries answered by binary search.  String names stay on the
+   host-global path (``graph/indexer.py``).
+2. **Undirected mirroring** — local (each shard mirrors its own edges);
+   dedup happens after routing, keyed on the global concatenation index so
+   the kept duplicate matches ``mirror_dedup``'s first-occurrence rule.
+3. **Routing** — edges travel to the participant owning their source
+   vertex's range (the analogue of ``repartition(3000, src)``,
+   ``spark.py:498``).
+4. **Hotspot trim** — per-vertex deterministic Fisher-Yates streams keyed on
+   the GLOBAL vertex id (native core), applied in global-index order, so the
+   kept subset is identical no matter which host trims.
+5. **Per-edge reverse metadata** — the producer/consumer range exchange of
+   ``walk/blocked.py::_edge_metadata_ranged``, now actually cross-process:
+   exact reverse weights and CDF prefixes, conservative (all-ones) triangle
+   bits — walks stay exactly distributed, cross-range arrivals just pay the
+   full rejection bound.
+6. **Packing** — each participant packs its own vertex ranges into the
+   blocked layout (``_pack_range``) and keeps only those shards.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+__all__ = [
+    "build_participant",
+    "run_local",
+    "run_distributed",
+    "build_mesh1d",
+    "assemble_partitioned",
+    "DistributedBuildResult",
+]
+
+_SIGN = np.int64(np.uint32(0x80000000))  # has_shared bit (conservative)
+
+
+class DistributedBuildResult:
+    """One participant's share of the built graph.
+
+    ``light/biw/bids/brp`` are this participant's vertex ranges packed in the
+    blocked layout (stacked range-major, padded to the global
+    blocks-per-shard); ``names``/``name_base`` its slice of the global
+    sorted-unique name table (None when the input was pre-indexed);
+    ``indptr/indices/weights`` its local CSR rows (LOCAL edge offsets,
+    global vertex ids); ``meta`` mirrors ``save_partitioned_graph``'s
+    meta.json fields.
+    """
+
+    def __init__(self, pid, ranges, light, biw, bids, brp, indptr, indices,
+                 weights, rev_enc, pfx, names, name_base, meta):
+        self.pid = pid
+        self.ranges = ranges
+        self.light = light
+        self.biw = biw
+        self.bids = bids
+        self.brp = brp
+        self.indptr = indptr
+        self.indices = indices
+        self.weights = weights
+        self.rev_enc = rev_enc
+        self.pfx = pfx
+        self.names = names
+        self.name_base = name_base
+        self.meta = meta
+
+
+def _as_blocks(arrs: Sequence[np.ndarray], width: int) -> List[np.ndarray]:
+    return [np.asarray(a, np.int64).reshape(-1, width) for a in arrs]
+
+
+def _route(values: np.ndarray, owner: np.ndarray, nparts: int):
+    """Split rows of ``values`` by ``owner``; returns (blocks, order) where
+    ``order`` restores the original row positions from the routed layout."""
+    order = np.argsort(owner, kind="stable")
+    bounds = np.searchsorted(owner[order], np.arange(nparts + 1))
+    blocks = [values[order[bounds[j]:bounds[j + 1]]] for j in range(nparts)]
+    return blocks, order, bounds
+
+
+def build_participant(
+    pid: int,
+    nparts: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: Optional[np.ndarray] = None,
+    *,
+    n_shards: Optional[int] = None,
+    indexed: bool = True,
+    directed: bool = True,
+    max_out_degree: int = 0,
+    random_seed: Optional[int] = None,
+    log1p_weight: bool = False,
+    light_width: Optional[int] = None,
+    block_width: Optional[int] = None,
+):
+    """Generator: one participant of an ``nparts``-way distributed build.
+
+    ``src/dst`` is THIS participant's contiguous shard of the global edge
+    list (shards concatenate in pid order to the monolithic input);
+    ``weight`` defaults to 1.0 (reference ``spark.py:490-491``).
+    ``n_shards`` is the number of packed vertex ranges (default ``nparts``);
+    it must be a multiple of ``nparts`` — participant p owns ranges
+    ``[p * n_shards/nparts, (p+1) * n_shards/nparts)``.
+
+    Protocol: ``recv = yield send`` with int64 ``[n, W]`` payload blocks,
+    one per peer.  Drive with ``run_local`` or ``run_distributed``.
+    """
+    from node2vec_tpu import native
+    from node2vec_tpu.constants import MAX_OUT_DEGREES
+    from node2vec_tpu.walk.blocked import (
+        _check_capacity,
+        _max_blocks,
+        _pack_range,
+        QUADS_PER_ROW,
+        PAD_ID,
+    )
+
+    if not native.available():
+        raise RuntimeError(
+            "the distributed build requires the native graph core (its "
+            "per-vertex trim streams are what make trimming "
+            "partition-deterministic)"
+        )
+    n_shards = nparts if n_shards is None else n_shards
+    if n_shards % nparts:
+        raise ValueError(f"n_shards={n_shards} must be a multiple of nparts={nparts}")
+    rpp = n_shards // nparts  # ranges per participant
+    if max_out_degree <= 0:
+        max_out_degree = MAX_OUT_DEGREES
+    seed_val = 0 if random_seed is None else int(random_seed)
+
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    if not (
+        np.issubdtype(src.dtype, np.integer)
+        and np.issubdtype(dst.dtype, np.integer)
+    ):
+        raise NotImplementedError(
+            "distributed indexing supports integer vertex names; index "
+            "string names with graph/indexer.py first"
+        )
+    src = src.astype(np.int64)
+    dst = dst.astype(np.int64)
+    n_local = len(src)
+    w = (
+        np.ones(n_local, dtype=np.float32)
+        if weight is None
+        else np.asarray(weight, dtype=np.float32).copy()
+    )
+    if log1p_weight:
+        w = np.log1p(w)
+    if np.any(w < 0):
+        raise ValueError("negative edge weights are not supported")
+
+    # ---- sizes: global edge-count offsets (for global concat indices) ----
+    cnt = np.array([[n_local]], np.int64)
+    recv = yield [cnt] * nparts
+    sizes = np.array([int(r[0, 0]) for r in recv], np.int64)
+    e_offset = int(sizes[:pid].sum())
+    e_total = int(sizes.sum())
+
+    names = None
+    name_base = 0
+    if indexed:
+        if n_local and (src.min() < 0 or dst.min() < 0):
+            raise ValueError("indexed vertex ids must be non-negative")
+        # global n_vertices = max id + 1 across shards
+        local_max = int(max(src.max(initial=-1), dst.max(initial=-1)))
+        recv = yield [np.array([[local_max]], np.int64)] * nparts
+        n_vertices = max(int(r[0, 0]) for r in recv) + 1
+        if n_vertices >= 2**31:
+            raise ValueError("indexed vertex ids must fit int32 (< 2^31)")
+    else:
+        # ---- stage 1: distributed sorted-unique indexing ----
+        lu = np.unique(np.concatenate([src, dst])) if n_local else np.array([], np.int64)
+        # sample-based splitters (deterministic: every participant derives
+        # them from the same merged sample multiset)
+        n_samp = min(len(lu), 64)
+        samp = lu[np.linspace(0, len(lu) - 1, n_samp).astype(np.int64)] if n_samp else lu
+        recv = yield [samp.reshape(-1, 1)] * nparts
+        merged = np.sort(np.concatenate([r.reshape(-1) for r in recv]))
+        if len(merged) == 0:
+            splitters = np.zeros(nparts - 1, np.int64)
+        else:
+            qs = (np.arange(1, nparts) * len(merged)) // nparts
+            splitters = merged[np.minimum(qs, len(merged) - 1)]
+
+        def owner_of_name(x):
+            return np.searchsorted(splitters, x, side="right").astype(np.int64)
+
+        blocks, _, _ = _route(lu.reshape(-1, 1), owner_of_name(lu), nparts)
+        recv = yield blocks
+        my_names = np.unique(np.concatenate([r.reshape(-1) for r in recv]))
+        recv = yield [np.array([[len(my_names)]], np.int64)] * nparts
+        name_counts = np.array([int(r[0, 0]) for r in recv], np.int64)
+        name_base = int(name_counts[:pid].sum())
+        n_vertices = int(name_counts.sum())
+        if n_vertices >= 2**31:
+            raise ValueError(f"Too many vertices for int32 ids: {n_vertices}")
+        names = my_names  # this participant's slice of the global name table
+
+        # endpoint lookups: route queries to name owners, answers ride the
+        # mirrored exchange back (bucket j of the reply aligns with what we
+        # sent j — the exchange is an involution on bucket layout)
+        queries = np.concatenate([src, dst])
+        q_owner = owner_of_name(queries)
+        q_blocks, q_order, _ = _route(queries.reshape(-1, 1), q_owner, nparts)
+        recv = yield q_blocks
+        answers = []
+        for r in recv:
+            q = r.reshape(-1)
+            pos = np.searchsorted(my_names, q)
+            pos_c = np.minimum(pos, max(len(my_names) - 1, 0))
+            ok = (pos < len(my_names)) & (
+                my_names[pos_c] == q if len(my_names) else False
+            )
+            if not np.all(ok):
+                raise AssertionError("distributed index lookup missed a name")
+            answers.append((name_base + pos_c).reshape(-1, 1))
+        recv = yield answers
+        flat = np.concatenate([r.reshape(-1) for r in recv]) if len(queries) else np.array([], np.int64)
+        ids = np.empty(len(queries), np.int64)
+        ids[q_order] = flat
+        src, dst = ids[:n_local], ids[n_local:]
+
+    # ---- stage 2: undirected mirroring (local) + global concat indices ----
+    gidx = e_offset + np.arange(n_local, dtype=np.int64)
+    if not directed:
+        # mirror_dedup concat order: [all originals ..., all reversed ...]
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+        w = np.concatenate([w, w])
+        gidx = np.concatenate([gidx, e_total + gidx])
+
+    # ---- stage 3: route edges to the owner of their source range ----
+    v_p = -(-n_vertices // n_shards) if n_vertices else 1
+    owner = np.minimum(src // v_p // rpp, nparts - 1)
+    payload = np.stack(
+        [src, dst, w.view(np.int32).astype(np.int64), gidx], axis=1
+    )
+    blocks, _, _ = _route(payload, owner, nparts)
+    recv = yield blocks
+    mine = (
+        np.concatenate([r for r in recv if len(r)])
+        if any(len(r) for r in recv)
+        else np.zeros((0, 4), np.int64)
+    )
+    src = mine[:, 0]
+    dst = mine[:, 1]
+    w = mine[:, 2].astype(np.int32).view(np.float32).copy()
+    gidx = mine[:, 3]
+
+    # ---- stage 4: dedup (undirected) + trim, in global-index order ----
+    order = np.argsort(gidx, kind="stable")
+    src, dst, w, gidx = src[order], dst[order], w[order], gidx[order]
+    if not directed and len(src):
+        # first-occurrence dedup == min gidx per (src, dst): rows are in
+        # ascending-gidx order, so the stable key sort's first row per key
+        # reproduces mirror_dedup's duplicate winner exactly.  Survivors
+        # STAY key-sorted — the native mirror emits (src, dst) order, and
+        # the monolithic trim consumes that order
+        key = src * n_vertices + dst
+        korder = np.argsort(key, kind="stable")
+        ks = key[korder]
+        first = np.ones(len(ks), bool)
+        first[1:] = ks[1:] != ks[:-1]
+        keep = korder[first]
+        src, dst, w, gidx = src[keep], dst[keep], w[keep], gidx[keep]
+    if len(src):
+        # native per-vertex Fisher-Yates streams are keyed on the GLOBAL
+        # vertex id and consume the vertex's edges in array order —
+        # ascending gidx reproduces the monolithic pass bit-for-bit
+        keep = native.trim_hotspot(
+            src.astype(np.int32), n_vertices, max_out_degree, seed_val
+        )
+        kept = np.flatnonzero(keep)
+        src, dst, w, gidx = src[kept], dst[kept], w[kept], gidx[kept]
+
+    # local CSR over my vertex span [lo, hi): local edge offsets
+    lo, hi = pid * rpp * v_p, min((pid + 1) * rpp * v_p, n_vertices)
+    span = max(hi - lo, 0)
+    corder = np.lexsort((dst, src))  # stable: parallel edges keep gidx order
+    indices32 = dst[corder].astype(np.int32)
+    weights32 = w[corder]
+    counts = np.bincount((src - lo).astype(np.int64), minlength=span)
+    indptr_local = np.zeros(span + 1, np.int64)
+    np.cumsum(counts, out=indptr_local[1:])
+    e_local = len(indices32)
+
+    # ---- stage 5: reverse metadata via producer/consumer range exchange ----
+    # producer: for each local edge (v -> u), the mirrored edge (u -> v) gets
+    # rev_w = w(v->u) and pfx = weight-CDF prefix of u within N(v)
+    rev_w = np.zeros(e_local, np.float32)
+    pfx = np.zeros(e_local, np.float32)
+    if e_local:
+        deg_l = np.diff(indptr_local)
+        v_ids = np.repeat(np.arange(lo, hi, dtype=np.int64), deg_l)
+        u_ids = indices32.astype(np.int64)
+        cw = np.concatenate([[0.0], np.cumsum(weights32, dtype=np.float64)])
+        row_base = cw[np.repeat(indptr_local[:-1], deg_l)]
+        pfx_out = (cw[:-1] - row_base).astype(np.float32)
+        rec = np.stack(
+            [
+                u_ids,
+                v_ids,
+                weights32.view(np.int32).astype(np.int64),
+                pfx_out.view(np.int32).astype(np.int64),
+            ],
+            axis=1,
+        )
+        rec_owner = np.minimum(u_ids // v_p // rpp, nparts - 1)
+        blocks, _, _ = _route(rec, rec_owner, nparts)
+    else:
+        blocks = [np.zeros((0, 4), np.int64)] * nparts
+    recv = yield blocks
+    inbound = (
+        np.concatenate([r for r in recv if len(r)])
+        if any(len(r) for r in recv)
+        else np.zeros((0, 4), np.int64)
+    )
+    if len(inbound) and e_local:
+        # consumer: match records (u, v) into my sorted rows
+        deg_l = np.diff(indptr_local)
+        src_rep = np.repeat(np.arange(lo, hi, dtype=np.int64), deg_l)
+        keys = src_rep * n_vertices + indices32  # sorted (CSR row order)
+        rkeys = inbound[:, 0] * n_vertices + inbound[:, 1]
+        pos = np.searchsorted(keys, rkeys)
+        pos_c = np.minimum(pos, max(e_local - 1, 0))
+        found = (pos < e_local) & (keys[pos_c] == rkeys)
+        rev_w[pos_c[found]] = (
+            inbound[found, 2].astype(np.int32).view(np.float32)
+        )
+        pfx[pos_c[found]] = inbound[found, 3].astype(np.int32).view(np.float32)
+    # conservative triangle bits (exactly _edge_metadata_ranged's contract)
+    rev_enc = (rev_w.view(np.int32) | np.int32(_SIGN)).astype(np.int32)
+
+    # ---- stage 6: pack my ranges into the blocked layout ----
+    max_deg_local = int(np.diff(indptr_local).max()) if span else 0
+    recv = yield [np.array([[max_deg_local]], np.int64)] * nparts
+    max_deg = max(int(r[0, 0]) for r in recv)
+    p_l = 31 if light_width is None else light_width
+    maxb = _max_blocks(p_l)
+    if block_width is None:
+        need = -(-max_deg // maxb) if max_deg > p_l else 1
+        block_width = max(256, 1 << int(np.ceil(np.log2(max(need, 1)))))
+    c = block_width
+    _check_capacity(max_deg, p_l, c)
+
+    # pad my span to rpp full ranges of v_p rows (isolated tail vertices)
+    full_span = rpp * v_p
+    if full_span > span:
+        indptr_local = np.concatenate(
+            [indptr_local, np.full(full_span - span, indptr_local[-1], np.int64)]
+        )
+    deg_all = np.diff(indptr_local)
+    heavy_blocks = np.where(deg_all > p_l, -(-deg_all // c), 0)
+    nb_mine = max(
+        (
+            int(heavy_blocks[s * v_p : (s + 1) * v_p].sum())
+            for s in range(rpp)
+        ),
+        default=0,
+    )
+    recv = yield [np.array([[nb_mine]], np.int64)] * nparts
+    nb_p = max(max(int(r[0, 0]) for r in recv), 1)
+
+    zero_bits = np.float32(0.0).view(np.int32)
+    lights, biws, bidss, brps = [], [], [], []
+    for s in range(rpp):
+        l, b_iw, b_ids, b_rp = _pack_range(
+            indptr_local, indices32, weights32, rev_enc, pfx,
+            s * v_p, (s + 1) * v_p, p_l, c,
+        )
+        biw = np.full((nb_p, 2 * c), PAD_ID, np.int32)
+        biw[:, c:] = zero_bits
+        biw[: b_iw.shape[0]] = b_iw
+        bids = np.full((nb_p, c), PAD_ID, np.int32)
+        bids[: b_ids.shape[0]] = b_ids
+        brp = np.zeros((nb_p * c // QUADS_PER_ROW, 128), np.int32)
+        brp[: b_rp.shape[0]] = b_rp
+        lights.append(l)
+        biws.append(biw)
+        bidss.append(bids)
+        brps.append(brp)
+
+    meta = {
+        "n_vertices": n_vertices,
+        "n_shards": n_shards,
+        "rows_per_shard": v_p,
+        "blocks_per_shard": nb_p,
+        "light_width": p_l,
+        "block_width": c,
+    }
+    return DistributedBuildResult(
+        pid=pid,
+        ranges=list(range(pid * rpp, (pid + 1) * rpp)),
+        light=np.concatenate(lights),
+        biw=np.concatenate(biws),
+        bids=np.concatenate(bidss),
+        brp=np.concatenate(brps),
+        indptr=indptr_local,
+        indices=indices32,
+        weights=weights32,
+        rev_enc=rev_enc,
+        pfx=pfx,
+        names=names,
+        name_base=name_base,
+        meta=meta,
+    )
+
+
+# --------------------------------------------------------------------------- #
+# drivers
+
+
+def run_local(gens) -> list:
+    """Drive ``nparts`` participant generators in lockstep within one
+    process (the unit-test / single-host driver)."""
+    n = len(gens)
+    sends = [next(g) for g in gens]
+    results = [None] * n
+    live = [True] * n
+    while any(live):
+        assert all(live), "participants desynchronized"
+        new_sends = [None] * n  # snapshot: deliver THIS round's sends only
+        for i in range(n):
+            recv = [sends[j][i] for j in range(n)]
+            try:
+                new_sends[i] = gens[i].send(recv)
+            except StopIteration as e:
+                results[i] = e.value
+                live[i] = False
+        sends = new_sends
+    return results
+
+
+def build_mesh1d(axis: str = "build"):
+    """One-device-per-process mesh for the build's host all-to-all."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = []
+    for p in range(jax.process_count()):
+        devs.append([d for d in jax.devices() if d.process_index == p][0])
+    return Mesh(np.array(devs), (axis,))
+
+
+def run_distributed(gen, mesh1d=None, axis: str = "build"):
+    """Drive THIS process's participant with real cross-process exchanges.
+
+    Each ``yield`` becomes one padded ``lax.all_to_all`` over ``mesh1d``
+    (gloo between CPU processes; ICI/DCN on TPU hardware): a host only ever
+    holds its own shard plus one round's padded buckets.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    if mesh1d is None:
+        mesh1d = build_mesh1d(axis)
+    nparts = jax.process_count()
+    me = jax.process_index()
+
+    a2a = jax.jit(
+        shard_map(
+            lambda x: jax.lax.all_to_all(x, axis, 0, 0),
+            mesh=mesh1d,
+            in_specs=P(axis),
+            out_specs=P(axis),
+        )
+    )
+
+    def exchange(send):
+        assert len(send) == nparts
+        counts = np.array([len(b) for b in send], np.int64)
+        widths = {b.shape[1] for b in send if b.ndim == 2}
+        width = max(widths) if widths else 1
+        all_counts = multihost_utils.process_allgather(
+            jnp.asarray(counts.astype(np.int32))
+        )  # [nparts, nparts]: all_counts[i, j] = rows i sends j
+        cap = max(int(all_counts.max()), 1)
+        buf = np.zeros((nparts, cap, width), np.int64)
+        for j, b in enumerate(send):
+            if len(b):
+                buf[j, : len(b)] = b
+        # ship as 2x int32 lanes: JAX without x64 silently truncates int64
+        # device arrays, and the payloads carry full-width names/keys
+        buf32 = np.ascontiguousarray(buf).view(np.int32).reshape(
+            nparts, cap, 2 * width
+        )
+        g = multihost_utils.host_local_array_to_global_array(
+            buf32, mesh1d, P(axis)
+        )
+        out32 = np.asarray(
+            multihost_utils.global_array_to_host_local_array(
+                a2a(g), mesh1d, P(axis)
+            )
+        )
+        out = (
+            np.ascontiguousarray(out32)
+            .view(np.int64)
+            .reshape(nparts, cap, width)
+        )
+        return [out[i, : int(all_counts[i, me])] for i in range(nparts)]
+
+    try:
+        send = next(gen)
+        while True:
+            send = gen.send(exchange(send))
+    except StopIteration as e:
+        return e.value
+
+
+def assemble_partitioned(result: DistributedBuildResult, mesh=None,
+                         axis_name: str = "data"):
+    """This participant's shards as a PartitionedBlockedGraph.
+
+    Single-process (``mesh=None`` or all-local mesh): arrays are this
+    participant's only.  On a multi-process mesh, each process contributes
+    its local shards to the global range-sharded arrays (the same layout
+    ``partition_blocked_graph(..., mesh=...)`` produces) without any process
+    holding the others' shards.
+    """
+    import jax.numpy as jnp
+
+    from node2vec_tpu.parallel.edge_partitioned_blocked import (
+        PartitionedBlockedGraph,
+    )
+
+    m = result.meta
+    out = PartitionedBlockedGraph(
+        light=jnp.asarray(result.light),
+        biw=jnp.asarray(result.biw),
+        bids=jnp.asarray(result.bids),
+        brp=jnp.asarray(result.brp),
+        rows_per_shard=m["rows_per_shard"],
+        blocks_per_shard=m["blocks_per_shard"],
+        light_width=m["light_width"],
+        block_width=m["block_width"],
+        n_vertices=m["n_vertices"],
+    )
+    if mesh is not None:
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(axis_name, None)
+        out = out._replace(
+            light=multihost_utils.host_local_array_to_global_array(
+                result.light, mesh, spec
+            ),
+            biw=multihost_utils.host_local_array_to_global_array(
+                result.biw, mesh, spec
+            ),
+            bids=multihost_utils.host_local_array_to_global_array(
+                result.bids, mesh, spec
+            ),
+            brp=multihost_utils.host_local_array_to_global_array(
+                result.brp, mesh, spec
+            ),
+        )
+    return out

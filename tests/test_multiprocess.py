@@ -26,10 +26,19 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_mesh_walks_and_rowsharded_sgns():
+import pytest
+
+
+@pytest.mark.parametrize(
+    "nproc,devs_per_proc",
+    [(2, 4), (4, 2)],  # same 8-device global mesh, 2- and 4-way process cut
+)
+def test_multi_process_mesh_all_sharded_paths(nproc, devs_per_proc):
     port = _free_port()
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devs_per_proc}"
+    )
     env.pop("JAX_PLATFORMS", None)  # the program forces cpu itself
     prog = os.path.join(os.path.dirname(__file__), "mp_program.py")
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(prog)))
@@ -38,14 +47,14 @@ def test_two_process_mesh_walks_and_rowsharded_sgns():
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, prog, str(pid), "2", str(port)],
+            [sys.executable, prog, str(pid), str(nproc), str(port)],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
             env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(prog))),
         )
-        for pid in range(2)
+        for pid in range(nproc)
     ]
     outs = []
     for p in procs:
@@ -58,3 +67,4 @@ def test_two_process_mesh_walks_and_rowsharded_sgns():
         assert "EDGE_PARTITIONED_OK" in out, out[-2000:]
         assert "ROWSHARDED_HS_OK" in out, out[-2000:]
         assert "STREAMING_SHARDED_OK" in out, out[-2000:]
+        assert "DISTRIBUTED_BUILD_OK" in out, out[-2000:]
