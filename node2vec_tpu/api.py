@@ -186,23 +186,10 @@ class Node2Vec:
         if streaming is None:
             # auto: stream whenever the corpus spans multiple chunks; the
             # mesh path streams too when the table layout supports it (row).
-            # A checkpoint_dir disables the auto choice only on the MESH
-            # streaming path (fit_streaming_sharded has no train-state
-            # checkpoint yet); single-device streaming resumes from
-            # chunk-boundary snapshots.
+            # Both streaming trainers checkpoint/resume train state when
+            # checkpoint_dir is set (chunk-boundary snapshots).
             streaming = n_chunks > 1 and (
-                self.mesh is None
-                or (
-                    self.table_sharding == "row"
-                    and self.checkpoint_dir is None
-                )
-            )
-        elif streaming and self.mesh is not None and self.checkpoint_dir:
-            logger.warning(
-                "mesh streaming training does not checkpoint train state; "
-                "checkpoint_dir=%r only covers walk chunks via "
-                "random_walk() (pass streaming=False for resumable "
-                "training)", self.checkpoint_dir,
+                self.mesh is None or self.table_sharding == "row"
             )
         if streaming and self.mesh is None:
             self.backend.model.fit_streaming(
@@ -218,6 +205,8 @@ class Node2Vec:
             self.backend.model.fit_streaming_sharded(
                 source, n_chunks, self.mesh, self.graph.n_vertices,
                 table_sharding=self.table_sharding, verbose=verbose,
+                checkpoint_dir=self.checkpoint_dir,
+                source_token=self._stream_source_token(engine),
             )
             self.walks = None
             return self.backend.model

@@ -66,6 +66,20 @@ def _streaming_counts(walk_source, n_chunks: int, n_vertices: int):
     return counts_host, length
 
 
+def _effective_batch(batch_walks: int, n_walks: int, floor: int = 1) -> int:
+    """Batch size with a SMALL-CORPUS cap: at least ~64 optimizer updates
+    per epoch (but never below 64 walks/batch — the shared-negative pool is
+    drawn per batch, and one-walk batches would skew the negative:positive
+    ratio).  One Adagrad step per 8192-walk batch on a 30k-walk corpus is 4
+    updates/epoch and measurably underfits the reference's per-pair SGD
+    (experiments/trainer_gap_sweep.py: multilabel-3k micro-F1 0.597 at the
+    default batch vs 0.75 at batch 256; the sequential oracle reads 0.947).
+    At production corpus sizes (n_walks >= 64 * batch_walks) the cap is
+    inactive.  ``floor`` keeps sharded trainers' per-device batches whole."""
+    batch = min(batch_walks, max(n_walks, 1))
+    return max(min(batch, max(n_walks // 64, 64, floor)), floor)
+
+
 class Word2VecTPU:
     """Skip-gram negative-sampling trainer over walk corpora."""
 
@@ -154,7 +168,7 @@ class Word2VecTPU:
         vocab_mask = jnp.asarray(self.vocab.mask)
 
         n_walks = len(walks)
-        batch = min(p.batch_walks, n_walks)
+        batch = _effective_batch(p.batch_walks, n_walks)
         n_batches = (n_walks + batch - 1) // batch
         total_steps = max(p.max_iter * n_batches, 1)
         root_key = jax.random.PRNGKey(p.seed)
@@ -344,7 +358,7 @@ class Word2VecTPU:
         batch = n_batches = lr_slope = None
         step0 = 0
         if chunk_walks is not None:  # resume: geometry known from snapshot
-            batch = min(p.batch_walks, chunk_walks)
+            batch = _effective_batch(p.batch_walks, chunk_walks)
             n_batches = chunk_walks // batch
             lr_slope = p.step_size / max(p.max_iter * n_chunks * n_batches, 1)
             step0 = (start_epoch * n_chunks + start_chunk) * n_batches
@@ -383,7 +397,7 @@ class Word2VecTPU:
                 n_walks_c = corpus.shape[0]
                 if chunk_walks is None:
                     chunk_walks = n_walks_c
-                    batch = min(p.batch_walks, n_walks_c)
+                    batch = _effective_batch(p.batch_walks, n_walks_c)
                     n_batches = n_walks_c // batch
                     total_steps = max(
                         p.max_iter * n_chunks * n_batches, 1
@@ -547,7 +561,7 @@ class Word2VecTPU:
             logger.info("resuming HS training from epoch %d", start_epoch)
 
         n_walks = len(walks)
-        batch = min(p.batch_walks, n_walks)
+        batch = _effective_batch(p.batch_walks, n_walks)
         n_batches = (n_walks + batch - 1) // batch
         total_steps = max(p.max_iter * n_batches, 1)
         n_padded = n_batches * batch
@@ -662,7 +676,7 @@ class Word2VecTPU:
             logger.info("resuming CBOW training from epoch %d", start_epoch)
 
         n_walks = len(walks)
-        batch = min(p.batch_walks, n_walks)
+        batch = _effective_batch(p.batch_walks, n_walks)
         n_batches = (n_walks + batch - 1) // batch
         total_steps = max(p.max_iter * n_batches, 1)
         n_padded = n_batches * batch
@@ -741,6 +755,9 @@ class Word2VecTPU:
         table_sharding: str = "row",
         verbose: bool = False,
         timer=None,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every_chunks: int = 0,
+        source_token: str = "",
     ) -> "Word2VecTPU":
         """Streaming virtual corpus × row-sharded tables — the unbounded
         configuration: V bounded only by aggregate mesh HBM (rows
@@ -752,6 +769,10 @@ class Word2VecTPU:
         (WalkEngine.chunk_source with a mesh-attached engine).  Row mode
         only: a streamed corpus makes no difference to the column trainer's
         per-device full-table replica — use fit_sharded for that.
+
+        ``checkpoint_dir``: same contract as fit_streaming — chunk-boundary
+        snapshots (state unsharded to host, resharded on resume); a resumed
+        run reproduces the uninterrupted trajectory bit-for-bit.
         """
         from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
@@ -760,7 +781,14 @@ class Word2VecTPU:
             AXES,
             init_row_state,
             row_sgns_epoch,
+            row_state_from_host,
+            row_state_to_host,
             unshard_rows,
+        )
+        from node2vec_tpu.utils.checkpoint import (
+            load_stream_state,
+            save_stream_state,
+            stream_fingerprint,
         )
 
         if self.params.sg == 0:
@@ -778,10 +806,25 @@ class Word2VecTPU:
         p = self.params
         n_dev = int(np.prod([mesh.shape[a] for a in AXES]))
 
-        # pass 1: exact corpus counts (chunks stay mesh-sharded throughout)
-        counts_host, length = _streaming_counts(
-            walk_source, n_chunks, n_vertices
+        fp = stream_fingerprint(
+            p, n_chunks, n_vertices, token=source_token + "|row-sharded"
         )
+        resume = load_stream_state(checkpoint_dir, fp)
+        chunk_walks = None
+        cur_losses = np.zeros(0, np.float32)
+        start_epoch = start_chunk = 0
+        if resume is not None:
+            (start_epoch, start_chunk, e_in_r, e_out_r, a_in_r, a_out_r,
+             prev_losses, cur_losses, counts_host, chunk_walks) = resume
+            logger.info(
+                "resuming row-sharded streaming training at epoch %d "
+                "chunk %d", start_epoch, start_chunk,
+            )
+        else:
+            # pass 1: exact corpus counts (chunks stay mesh-sharded)
+            counts_host, _ = _streaming_counts(
+                walk_source, n_chunks, n_vertices
+            )
         self.vocab = build_vocab_from_counts(
             counts_host, min_count=p.min_count, ns_exponent=p.ns_exponent
         )
@@ -818,22 +861,72 @@ class Word2VecTPU:
             state = init_hs_row_state(
                 mesh, n_vertices, tree.n_inner, p.vector_size, seed=p.seed
             )
+            if resume is not None:
+                from node2vec_tpu.parallel.rowsharded_hs import (
+                    hs_state_from_host,
+                )
+
+                state = hs_state_from_host(
+                    mesh, e_in_r, e_out_r, a_in_r, a_out_r
+                )
         else:
             ns_alias = jax.device_put(jnp.asarray(self.vocab.ns_alias), rep)
             ns_prob = jax.device_put(jnp.asarray(self.vocab.ns_prob), rep)
             state = init_row_state(mesh, n_vertices, p.vector_size, seed=p.seed)
+            if resume is not None:
+                state = row_state_from_host(
+                    mesh, e_in_r, e_out_r, a_in_r, a_out_r
+                )
+
+        def _state_to_host(st):
+            if use_hs:
+                from node2vec_tpu.parallel.rowsharded_hs import (
+                    hs_state_to_host,
+                )
+
+                return hs_state_to_host(st, n_dev)
+            return row_state_to_host(st, n_dev)
+
+        def _snapshot(epoch_next, chunk_next, st, epoch_losses):
+            cur = (
+                np.concatenate([np.asarray(x).reshape(-1) for x in epoch_losses])
+                if epoch_losses
+                else np.zeros(0, np.float32)
+            )
+            save_stream_state(
+                checkpoint_dir, fp, epoch_next, chunk_next,
+                *_state_to_host(st),
+                epoch_losses=np.asarray(self._losses, np.float32),
+                cur_losses=cur,
+                counts=counts_host, chunk_walks=chunk_walks or 0,
+            )
 
         root_key = jax.random.PRNGKey(p.seed)
         rng = np.random.default_rng(p.seed)
-        self._losses = []
+        orders = [rng.permutation(n_chunks) for _ in range(p.max_iter)]
+        self._losses = (
+            [float(x) for x in prev_losses] if resume is not None else []
+        )
         step0 = 0
         lr_slope = None
+        if chunk_walks is not None:  # resume: geometry known from snapshot
+            batch_local = max(
+                _effective_batch(p.batch_walks, chunk_walks, floor=n_dev)
+                // n_dev, 1)
+            n_batches = max((chunk_walks // n_dev) // batch_local, 1)
+            lr_slope = p.step_size / max(p.max_iter * n_chunks * n_batches, 1)
+            step0 = (start_epoch * n_chunks + start_chunk) * n_batches
         total_dropped = 0
-        for epoch in range(p.max_iter):
-            order = rng.permutation(n_chunks)
-            pending = walk_source(int(order[0]))
+        for epoch in range(start_epoch, p.max_iter):
+            order = orders[epoch]
+            skip = start_chunk if epoch == start_epoch else 0
+            if skip >= n_chunks:
+                continue  # defensive: epoch-end snapshots normalize to (e+1, 0)
             epoch_losses = []
-            for i in range(n_chunks):
+            if epoch == start_epoch and len(cur_losses):
+                epoch_losses.append(jnp.asarray(cur_losses))
+            pending = walk_source(int(order[skip]))
+            for i in range(skip, n_chunks):
                 nxt = (
                     walk_source(int(order[i + 1]))
                     if i + 1 < n_chunks
@@ -870,13 +963,22 @@ class Word2VecTPU:
                         keep,
                     )
                 n_walks_c = corpus.shape[0]
-                batch_local = max(
-                    min(p.batch_walks, n_walks_c) // n_dev, 1
-                )
-                n_batches = max((n_walks_c // n_dev) // batch_local, 1)
-                if lr_slope is None:
+                if chunk_walks is None:
+                    chunk_walks = n_walks_c
+                    batch_local = max(
+                        _effective_batch(
+                            p.batch_walks, n_walks_c, floor=n_dev
+                        ) // n_dev, 1
+                    )
+                    n_batches = max((n_walks_c // n_dev) // batch_local, 1)
                     total_steps = max(p.max_iter * n_chunks * n_batches, 1)
                     lr_slope = p.step_size / total_steps
+                elif n_walks_c != chunk_walks:
+                    raise ValueError(
+                        f"walk_source chunk {int(order[i])} has "
+                        f"{n_walks_c} walks, expected {chunk_walks} — "
+                        "streaming requires constant chunk shapes"
+                    )
                 key = jax.random.fold_in(
                     root_key, 9_000_000 + epoch * n_chunks + i
                 )
@@ -909,14 +1011,25 @@ class Word2VecTPU:
                 step0 += n_batches
                 epoch_losses.append(losses)
                 pending = nxt
+                if (
+                    checkpoint_dir
+                    and checkpoint_every_chunks > 0
+                    and i + 1 < n_chunks
+                    and (i + 1) % checkpoint_every_chunks == 0
+                ):
+                    _snapshot(epoch, i + 1, state, epoch_losses)
             self._losses.append(
-                float(jnp.mean(jnp.concatenate(epoch_losses)))
+                float(jnp.mean(jnp.concatenate(
+                    [jnp.asarray(x).reshape(-1) for x in epoch_losses]
+                )))
             )
             if verbose:
                 logger.info(
                     "streaming row-sharded epoch %d/%d loss=%.4f",
                     epoch + 1, p.max_iter, self._losses[-1],
                 )
+            if checkpoint_dir:
+                _snapshot(epoch + 1, 0, state, [])
         if total_dropped:
             logger.warning(
                 "row-sharded training dropped %d routed rows to capacity "
@@ -1029,7 +1142,7 @@ class Word2VecTPU:
         mask = jax.device_put(jnp.asarray(self.vocab.mask), rep)
 
         n_walks = len(walks)
-        batch = min(p.batch_walks, n_walks)
+        batch = _effective_batch(p.batch_walks, n_walks)
         batch -= batch % n_data or 0
         batch = max(batch, n_data)
         batch_local = batch // n_data
@@ -1135,7 +1248,9 @@ class Word2VecTPU:
         n_dev = int(np.prod([mesh.shape[a] for a in AXES]))
 
         n_walks = len(walks)
-        batch = max(min(p.batch_walks, n_walks) // n_dev, 1) * n_dev
+        batch = max(
+            _effective_batch(p.batch_walks, n_walks, floor=n_dev) // n_dev, 1
+        ) * n_dev
         batch_local = batch // n_dev
         n_batches = max(n_walks // batch, 1)
         # pad/trim the corpus to whole sharded batches (dead rows are -1)
@@ -1271,7 +1386,9 @@ class Word2VecTPU:
         mask = jax.device_put(jnp.asarray(self.vocab.mask), rep)
 
         n_walks = len(walks)
-        batch = max(min(p.batch_walks, n_walks) // n_dev, 1) * n_dev
+        batch = max(
+            _effective_batch(p.batch_walks, n_walks, floor=n_dev) // n_dev, 1
+        ) * n_dev
         batch_local = batch // n_dev
         n_batches = max(n_walks // batch, 1)
         n_used = n_batches * batch

@@ -318,3 +318,59 @@ def test_run_pipeline_streaming_with_checkpoint_dir(tmp_path):
         np.asarray(model2.emb_in), np.asarray(model.emb_in)
     )
     assert list(model2._losses) == losses1
+
+
+def test_streaming_sharded_checkpoint_kill_and_resume(tmp_path):
+    """fit_streaming_sharded checkpoints too: state unshards to host at
+    chunk boundaries, reshards on resume, and the resumed trajectory
+    bit-matches the uninterrupted run (completes VERDICT item 4 for the
+    mesh streaming path)."""
+    import jax
+    import pytest
+    from jax.sharding import Mesh
+
+    g = _clique_graph()
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
+    params = Node2VecParams(num_walks=30, walk_length=8, walker_chunk=128)
+    eng = WalkEngine(g, params, mesh=mesh)
+    n_chunks, chunk, source = eng.chunk_source(seed=0)
+    assert n_chunks >= 3
+    for negative in (5, 0):  # SGNS and HS row-sharded variants
+        w2v = Word2VecParams(
+            min_count=1, vector_size=32, max_iter=3, batch_walks=64,
+            negative=negative, step_size=0.05,
+        )
+        token = f"mp-src-{negative}"
+        m_ref = Word2VecTPU(w2v).fit_streaming_sharded(
+            source, n_chunks, mesh, g.n_vertices
+        )
+        ck = str(tmp_path / f"rowstream_{negative}")
+        calls = {"n": 0}
+
+        def crashing(i):
+            calls["n"] += 1
+            if calls["n"] > n_chunks + 3:
+                raise RuntimeError("simulated kill")
+            return source(i)
+
+        with pytest.raises(RuntimeError, match="simulated kill"):
+            Word2VecTPU(w2v).fit_streaming_sharded(
+                crashing, n_chunks, mesh, g.n_vertices, checkpoint_dir=ck,
+                checkpoint_every_chunks=1, source_token=token,
+            )
+        m2 = Word2VecTPU(w2v).fit_streaming_sharded(
+            source, n_chunks, mesh, g.n_vertices, checkpoint_dir=ck,
+            checkpoint_every_chunks=1, source_token=token,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m2.emb_in), np.asarray(m_ref.emb_in)
+        )
+        assert m2._losses == pytest.approx(m_ref._losses)
+        # resume-at-completion: final state straight off disk
+        m3 = Word2VecTPU(w2v).fit_streaming_sharded(
+            source, n_chunks, mesh, g.n_vertices, checkpoint_dir=ck,
+            source_token=token,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m3.emb_in), np.asarray(m_ref.emb_in)
+        )
