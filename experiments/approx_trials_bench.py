@@ -81,12 +81,12 @@ def measure(g, starts, p, q, trials, thresh, reps=4):
     assert hasattr(B.blocked_walk_chunk, "_clear_cache")
     B.blocked_walk_chunk._clear_cache()
     eng = make_engine(g, p, q, trials)
-    w = eng._run_chunk(starts, None, gid_base=0, seed=7)  # warm/compile
+    w = eng._run_chunk(starts, gid_base=0, seed=7)  # warm/compile
     float(jnp.sum(jnp.where(w >= 0, w, 0)))
     eng.fallback_count = eng.attempt_count = 0
     t0 = time.perf_counter()
     for i in range(reps):
-        w = eng._run_chunk(starts, None, gid_base=0, seed=1000 + i)
+        w = eng._run_chunk(starts, gid_base=0, seed=1000 + i)
     float(jnp.sum(jnp.where(w >= 0, w, 0)))
     dt = (time.perf_counter() - t0) / reps
     steps = W * L

@@ -320,7 +320,13 @@ class WalkEngine:
         """
         self.params = params
         self.mesh = mesh  # optional jax Mesh: chunks run sharded over 'data'
-        self.dgraph = graph.to_device() if isinstance(graph, Graph) else graph
+        # the CSR DeviceGraph (indices/weights/alias/prob, ~16B/edge of HBM)
+        # is only needed by the CSR fallback strategy — upload it LAZILY so
+        # the dense/blocked/ep engines don't carry a dead multi-GB copy at
+        # 100M+ edges (found by the north-star scale run, round 4)
+        self._graph_host = graph if isinstance(graph, Graph) else None
+        self._dgraph = None if isinstance(graph, Graph) else graph
+        self.n_vertices = int(graph.n_vertices)
         host_indptr = (
             graph.indptr if isinstance(graph, Graph) else np.asarray(graph.indptr)
         )
@@ -389,6 +395,13 @@ class WalkEngine:
                 self.pgraph = partition_blocked_graph(
                     indptr, indices, weights, mesh.shape["data"], mesh=mesh
                 )
+
+    @property
+    def dgraph(self) -> DeviceGraph:
+        """Device CSR (lazy upload — only the CSR strategy reads it)."""
+        if self._dgraph is None:
+            self._dgraph = self._graph_host.to_device()
+        return self._dgraph
 
     @property
     def fallback_count(self) -> int:
@@ -684,9 +697,8 @@ class WalkEngine:
         )
 
         p = self.params
-        g = self.dgraph
         if start_vertices is None:
-            starts_one = np.arange(g.n_vertices, dtype=np.int32)
+            starts_one = np.arange(self.n_vertices, dtype=np.int32)
         else:
             starts_one = np.asarray(start_vertices, dtype=np.int32)
         starts = np.tile(starts_one, p.num_walks)
@@ -694,7 +706,7 @@ class WalkEngine:
         chunk = self._effective_chunk(n_total)
 
         fp = walk_fingerprint(
-            p, seed, starts_one, g.n_vertices,
+            p, seed, starts_one, self.n_vertices,
             graph_token=self.graph_token, strategy=self._strategy_token(),
         )
         done = load_walk_chunks(checkpoint_dir, fingerprint=fp)
@@ -738,9 +750,8 @@ class WalkEngine:
         trains) and for corpora larger than HBM.
         """
         p = self.params
-        g = self.dgraph
         if start_vertices is None:
-            starts_one = np.arange(g.n_vertices, dtype=np.int32)
+            starts_one = np.arange(self.n_vertices, dtype=np.int32)
         else:
             starts_one = np.asarray(start_vertices, dtype=np.int32)
         starts = np.tile(starts_one, p.num_walks)
@@ -765,9 +776,8 @@ class WalkEngine:
         """Like run(), but the walk corpus STAYS on device (jnp array) —
         feed it straight into Word2VecTPU.fit for a host-free pipeline."""
         p = self.params
-        g = self.dgraph
         if start_vertices is None:
-            starts_one = np.arange(g.n_vertices, dtype=np.int32)
+            starts_one = np.arange(self.n_vertices, dtype=np.int32)
         else:
             starts_one = np.asarray(start_vertices, dtype=np.int32)
         starts = np.tile(starts_one, p.num_walks)

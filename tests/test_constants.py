@@ -64,4 +64,8 @@ def test_dataclass_defaults_match_dicts():
     assert p.num_walks == NODE2VEC_PARAMS["num_walks"]
     w = Word2VecParams()
     assert w.vector_size == WORD2VEC_PARAMS["vector_size"]
-    assert w.step_size == WORD2VEC_PARAMS["step_size"]
+    # DELIBERATE divergence: the dicts document the reference's plain-SGD
+    # defaults; our Adagrad trainers default to a measured-better 0.2
+    # (constants.py step_size comment, experiments/ref_w2v_oracle.py)
+    assert WORD2VEC_PARAMS["step_size"] == 0.025
+    assert w.step_size == 0.2
