@@ -59,6 +59,13 @@ def _streaming_counts(walk_source, n_chunks: int, n_vertices: int):
         counts = counts.at[jnp.where(flat >= 0, flat, 0)].add(
             (flat >= 0).astype(jnp.int32)
         )
+        if (c + 1) % 8 == 0:
+            # bound async enqueue depth: without a sync the whole pass is
+            # dispatched at once and every pending chunk's walk output +
+            # counts intermediate must be resident simultaneously — at
+            # north-star scale (64 chunks x tens of MB on a chip already
+            # holding 11+ GiB of graph+tables) that transient OOMs
+            jax.block_until_ready(counts)
         if (c + 1) % 256 == 0:
             counts_host += host_copy(counts)
             counts = jnp.zeros((n_vertices,), jnp.int32)
@@ -481,6 +488,11 @@ class Word2VecTPU:
                 step0 += n_batches
                 epoch_losses.append(losses)
                 pending = nxt
+                if (i + 1) % 4 == 0:
+                    # bound async enqueue depth (see _streaming_counts):
+                    # keeps <= ~4 chunks of walk+train work outstanding
+                    # while preserving the producer/consumer overlap
+                    jax.block_until_ready(losses)
                 if (
                     checkpoint_dir
                     and checkpoint_every_chunks > 0
@@ -1011,6 +1023,8 @@ class Word2VecTPU:
                 step0 += n_batches
                 epoch_losses.append(losses)
                 pending = nxt
+                if (i + 1) % 4 == 0:
+                    jax.block_until_ready(losses)  # bound enqueue depth
                 if (
                     checkpoint_dir
                     and checkpoint_every_chunks > 0
