@@ -308,10 +308,14 @@ def bench_northstar(scale: int, walk_length: int, dim: int) -> dict:
     """>=100M-edge single-chip end-to-end measurement (north-star config).
 
     Host C++ build -> blocked packing + HBM accounting -> biased/unbiased
-    blocked walks -> one streaming SGNS epoch over the virtual corpus (the
-    corpus never materializes; tables + graph share the one chip's HBM).
+    blocked walks -> one streaming SGNS epoch over the virtual corpus (dim
+    32; tables + graph share the one chip's HBM) -> one STAGED epoch at the
+    reference-default dim 128 (corpus materialized as a 0.66 GiB device
+    buffer, blocked tables freed — the reference's own walk->embed stage
+    handoff, examples/native_spark.py:50-61).
     """
     import jax
+    import jax.numpy as jnp
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "examples"))
     from scale_test import rmat_edges
@@ -369,20 +373,29 @@ def bench_northstar(scale: int, walk_length: int, dim: int) -> dict:
         if key == "walk_steps_per_s":
             out["walk_roofline"] = roof
 
-    # streaming SGNS: one epoch over the virtual corpus (1 walk/vertex).
-    # dim capped at 64 here: at 8.4M vertices the fp32 in/out tables cost
-    # V*D*8B — dim 128 (8.6 GiB) + the ~7 GiB blocked tables overflows one
-    # v5e's 16 GiB, dim 64 fits; beyond that the row-sharded trainer is the
-    # designed path (docs/scaling.md memory math)
-    dim = min(dim, 64)
+    # Two training modes, both measured on the one chip (probed end to end
+    # in experiments/northstar_probe.py; memory bisection in
+    # experiments/sgns_memory_probe.py):
+    #
+    # 1. STREAMING (graph + trainer coexist, corpus never materializes):
+    #    dim 32 — the 7.13 GiB blocked tables + dim-32 tables (2.15 GiB,
+    #    scatter runs in place) fit; dim 64 hits the XLA scatter anomaly
+    #    (8 GiB of table-copy temporaries, docs/scaling.md) and dim 128's
+    #    8.4 GiB program peak + graph exceeds the chip.
+    # 2. STAGED at the REFERENCE-DEFAULT dim 128: walk the whole corpus
+    #    into a device buffer (0.66 GiB — the reference's walk->embed
+    #    parquet handoff, examples/native_spark.py:50-61, as a device
+    #    array), FREE the blocked tables, then fit() — graph and trainer
+    #    never coexist, so the full dim fits.
     params = Node2VecParams(
         num_walks=1, walk_length=walk_length,
         return_param=0.25, inout_param=4.0,
     )
     engine = WalkEngine(g, params, strategy="blocked", blocked_graph=bg)
     n_chunks, chunk_walks, source = engine.chunk_source(seed=0)
+    stream_dim = 32
     w2v = Word2VecParams(
-        min_count=1, vector_size=dim, max_iter=1, batch_walks=8192,
+        min_count=1, vector_size=stream_dim, max_iter=1, batch_walks=2048,
     )
     model = Word2VecTPU(w2v)
     t0 = time.perf_counter()
@@ -396,16 +409,54 @@ def bench_northstar(scale: int, walk_length: int, dim: int) -> dict:
             "streaming_epoch_s": round(train_s, 1),
             "streaming_nominal_pairs_per_s": round(nominal_pairs / train_s),
             "streaming_loss": round(model._losses[-1], 4),
-            "table_dim": dim,
+            "streaming_dim": stream_dim,
         }
     )
     log(
-        f"northstar streaming epoch: {train_s:.0f}s over {n_chunks} chunks "
-        f"({nominal_pairs / train_s / 1e6:.1f}M nominal pairs/s, "
-        f"loss {model._losses[-1]:.3f})"
+        f"northstar streaming epoch (dim {stream_dim}): {train_s:.0f}s over "
+        f"{n_chunks} chunks ({nominal_pairs / train_s / 1e6:.1f}M nominal "
+        f"pairs/s, loss {model._losses[-1]:.3f})"
     )
     if not np.isfinite(model._losses[-1]):
         raise RuntimeError("northstar streaming loss is not finite")
+    del model
+
+    # staged mode: corpus on device, graph freed, reference-default dim 128
+    t0 = time.perf_counter()
+    corpus = engine.run_device(seed=0)
+    float(jnp.sum(corpus[-1]))  # scalar readback: real sync via the tunnel
+    walk_s = time.perf_counter() - t0
+    del engine, bg
+    import gc
+
+    gc.collect()
+    staged_dim = 128
+    w2v2 = Word2VecParams(
+        min_count=1, vector_size=staged_dim, max_iter=1, batch_walks=8192,
+    )
+    model = Word2VecTPU(w2v2)
+    t0 = time.perf_counter()
+    model.fit(corpus, n_vertices=g.n_vertices)
+    # sync on one ROW (scalar readback) — model.emb_in (the property) would
+    # read the whole 4.3 GiB table back through the tunnel
+    float(jnp.sum(model._emb_in[-1]))
+    fit_s = time.perf_counter() - t0
+    out.update(
+        {
+            "staged_walk_s": round(walk_s, 1),
+            "staged_fit_s": round(fit_s, 1),
+            "staged_nominal_pairs_per_s": round(nominal_pairs / fit_s),
+            "staged_loss": round(model._losses[-1], 4),
+            "staged_dim": staged_dim,
+        }
+    )
+    log(
+        f"northstar staged (dim {staged_dim}): walks {walk_s:.0f}s + fit "
+        f"{fit_s:.0f}s ({nominal_pairs / fit_s / 1e6:.1f}M nominal pairs/s, "
+        f"loss {model._losses[-1]:.3f})"
+    )
+    if not np.isfinite(model._losses[-1]):
+        raise RuntimeError("northstar staged loss is not finite")
     return out
 
 

@@ -202,8 +202,19 @@ class Word2VecParams:
     # shape-specific TPU remote-compile failure at CL 19 (BASELINE.md r3):
     # set hs_max_code_length=18
     hs_max_code_length: int = 0
+    # SGNS update rule: "adagrad" (row-wise Adagrad, the production default
+    # tuned with step_size=0.2) or "sgd" (duplicate-mean plain -lr * grad
+    # with the linear decay — the reference trainers' rule, word2vec.c /
+    # spark.ml stepSize semantics; pair with step_size=0.025).  Built to
+    # chase the residual quality band vs the sequential reference oracle
+    # (ROADMAP item 12, experiments/sgd_mode_sweep.py); HS/CBOW ignore it.
+    optimizer: str = "adagrad"
 
     def __post_init__(self) -> None:
+        if self.optimizer not in ("adagrad", "sgd"):
+            raise ValueError(
+                f"optimizer must be 'adagrad' or 'sgd', got {self.optimizer!r}"
+            )
         if not 5 <= self.window_size <= 30:
             raise ValueError(
                 f"Inappropriate context window size {self.window_size}, it must be in [5, 30]!"

@@ -211,6 +211,7 @@ def sgns_walk_step_impl(
     shared_negatives: int,
     shrink_window: bool,
     preagg: bool = False,
+    optimizer: str = "adagrad",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Walk-structured SGNS step — the fast single-device path.
 
@@ -230,7 +231,29 @@ def sgns_walk_step_impl(
     row-sharded trainer and the HS dense head already use (which fixed
     hot-row oscillation there).  Experimental; measured in
     experiments/sgns_preagg_quality.py.
+
+    ``optimizer`` selects the update rule applied to the (summed or
+    pre-aggregated) gradients:
+
+    - ``"adagrad"`` (default): row-wise Adagrad — the production rule.
+    - ``"sgd"``: duplicate-mean plain SGD with the linear-decay lr, no
+      accumulator state touched — the reference trainers' rule
+      (word2vec.c / spark.ml stepSize semantics).  Always pre-aggregated:
+      each vertex takes ONE mean-scaled step per batch and the shared
+      negatives take batch-mean-scaled steps, bounding the per-batch step
+      the way sequential SGD's saturation feedback does (the summed
+      variants measurably diverge).  Built for ROADMAP item 12 (residual
+      quality band vs the sequential oracle); measured in
+      experiments/sgd_mode_sweep.py.
     """
+    if optimizer not in ("adagrad", "sgd"):
+        raise ValueError(f"unknown optimizer {optimizer!r}")
+    if optimizer == "sgd":
+        # plain SGD REQUIRES the pre-aggregated (duplicate-mean) path: a
+        # per-occurrence summed -lr*g step diverges on duplicate-dense
+        # batches (hub rows sum hundreds of correlated gradients at the
+        # stale point — measured NaN, experiments/sgd_mode_sweep.py)
+        preagg = True
     n_vertices = emb_in.shape[0]
     n_walks, length = walks.shape
     dim = emb_in.shape[1]
@@ -316,6 +339,26 @@ def sgns_walk_step_impl(
 
         ga_in = agg(g_in_flat)  # [N, D]; row s = segment s's summed gradient
         ga_out = agg(g_out_flat)
+        if optimizer == "sgd":
+            # duplicate-mean SGD: one -lr * (sum/count) step per vertex.
+            # The shared-negative rows likewise take a mean-scaled step:
+            # each absorbs the WHOLE batch's negative mass (n_pairs *
+            # negatives / s occurrences — thousands), which a plain summed
+            # -lr*d_no step cannot survive (measured divergence,
+            # experiments/sgd_mode_sweep.py).
+            cnt = jax.ops.segment_sum(
+                row_valid[order], seg, num_segments=n_rows
+            )
+            inv = 1.0 / jnp.maximum(cnt, 1.0)
+            cnt_neg = jnp.maximum(jnp.sum(m_flat) * neg_scale, 1.0)
+            emb_in = emb_in.at[head_v].add(
+                -lr * ga_in * inv[:, None], mode="drop"
+            )
+            emb_out = emb_out.at[head_v].add(
+                -lr * ga_out * inv[:, None], mode="drop"
+            )
+            emb_out = emb_out.at[neg_ids].add(-lr * d_no / cnt_neg)
+            return emb_in, emb_out, acc_in, acc_out, loss
         acc_in = acc_in.at[head_v].add(
             jnp.mean(ga_in * ga_in, axis=-1), mode="drop"
         )
@@ -355,6 +398,7 @@ sgns_walk_step = functools.partial(
     jax.jit,
     static_argnames=(
         "window", "negatives", "shared_negatives", "shrink_window", "preagg",
+        "optimizer",
     ),
     donate_argnames=("emb_in", "emb_out", "acc_in", "acc_out"),
 )(sgns_walk_step_impl)
@@ -545,7 +589,7 @@ def _sgns_corpus_step_impl(
     emb_in, emb_out, acc_in, acc_out, corpus, offset, key, lr,
     ns_alias, ns_prob, vocab_mask, *,
     batch: int, window: int, negatives: int, shared_negatives: int,
-    shrink_window: bool,
+    shrink_window: bool, optimizer: str = "adagrad",
 ):
     """sgns_walk_step over a device-resident (pre-shuffled) corpus slice.
 
@@ -558,13 +602,15 @@ def _sgns_corpus_step_impl(
         ns_alias, ns_prob, vocab_mask,
         window=window, negatives=negatives,
         shared_negatives=shared_negatives, shrink_window=shrink_window,
+        optimizer=optimizer,
     )
 
 
 sgns_corpus_step = functools.partial(
     jax.jit,
     static_argnames=(
-        "batch", "window", "negatives", "shared_negatives", "shrink_window"
+        "batch", "window", "negatives", "shared_negatives", "shrink_window",
+        "optimizer",
     ),
     donate_argnames=("emb_in", "emb_out", "acc_in", "acc_out"),
 )(_sgns_corpus_step_impl)
@@ -575,6 +621,7 @@ def _sgns_epoch_impl(
     ns_alias, ns_prob, vocab_mask, *,
     batch: int, n_batches: int, window: int, negatives: int,
     shared_negatives: int, shrink_window: bool, min_lr: float,
+    optimizer: str = "adagrad", preagg: bool = False,
 ):
     """A whole epoch of SGNS steps inside ONE jit program (lax.scan).
 
@@ -594,6 +641,7 @@ def _sgns_epoch_impl(
             ns_alias, ns_prob, vocab_mask,
             window=window, negatives=negatives,
             shared_negatives=shared_negatives, shrink_window=shrink_window,
+            optimizer=optimizer, preagg=preagg,
         )
         return (emb_in, emb_out, acc_in, acc_out), loss
 
@@ -609,7 +657,7 @@ sgns_epoch = functools.partial(
     jax.jit,
     static_argnames=(
         "batch", "n_batches", "window", "negatives", "shared_negatives",
-        "shrink_window", "min_lr",
+        "shrink_window", "min_lr", "optimizer", "preagg",
     ),
     donate_argnames=("emb_in", "emb_out", "acc_in", "acc_out"),
 )(_sgns_epoch_impl)

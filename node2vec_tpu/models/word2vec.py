@@ -73,18 +73,27 @@ def _streaming_counts(walk_source, n_chunks: int, n_vertices: int):
     return counts_host, length
 
 
-def _effective_batch(batch_walks: int, n_walks: int, floor: int = 1) -> int:
-    """Batch size with a SMALL-CORPUS cap: at least ~64 optimizer updates
-    per epoch (but never below 64 walks/batch — the shared-negative pool is
-    drawn per batch, and one-walk batches would skew the negative:positive
-    ratio).  One Adagrad step per 8192-walk batch on a 30k-walk corpus is 4
-    updates/epoch and measurably underfits the reference's per-pair SGD
-    (experiments/trainer_gap_sweep.py: multilabel-3k micro-F1 0.597 at the
-    default batch vs 0.75 at batch 256; the sequential oracle reads 0.947).
-    At production corpus sizes (n_walks >= 64 * batch_walks) the cap is
-    inactive.  ``floor`` keeps sharded trainers' per-device batches whole."""
+def _effective_batch(
+    batch_walks: int, n_walks: int, floor: int = 1,
+    target_updates: int = 512,
+) -> int:
+    """Batch size with a SMALL-CORPUS cap: at least ~``target_updates``
+    optimizer updates per epoch (but never below 64 walks/batch — the
+    shared-negative pool is drawn per batch, and one-walk batches would skew
+    the negative:positive ratio).  One Adagrad step per 8192-walk batch on a
+    30k-walk corpus is 4 updates/epoch and measurably underfits the
+    reference's per-pair SGD; the batch granularity is the DOMINANT term of
+    the residual band vs the sequential oracle (experiments/
+    sgd_mode_sweep.py: multilabel-3k micro-F1 0.819 at ~64 updates/epoch vs
+    0.920 at batch 64 / ~470 updates, e5; 0.855 vs 0.938 at the reference's
+    default 10 epochs — oracle 0.947, i.e. batch 64 is parity to -0.009).
+    At production corpus sizes (n_walks >= target_updates * batch_walks)
+    the cap is inactive; streaming callers scale ``target_updates`` down by
+    n_chunks since updates accumulate across a chunked epoch.  ``floor``
+    keeps sharded trainers' per-device batches whole."""
     batch = min(batch_walks, max(n_walks, 1))
-    return max(min(batch, max(n_walks // 64, 64, floor)), floor)
+    target = max(target_updates, 1)
+    return max(min(batch, max(n_walks // target, 64, floor)), floor)
 
 
 class Word2VecTPU:
@@ -101,6 +110,21 @@ class Word2VecTPU:
         self._emb_in = None  # device or host array; host view is lazy
         self._emb_out = None
         self._losses: list = []
+
+    def _warn_dim64_anomaly(self, n_vertices: int) -> None:
+        """Warn about the measured XLA dim-64 scatter-copy pathology: at
+        D=64 and V >~ 4M the SGNS update chain materializes 2-4 physical
+        copies per table (8 GiB of temporaries at V=8.4M where dim 32/128
+        run in place — experiments/sgns_memory_probe.py, docs/scaling.md
+        "dim-64 anomaly")."""
+        if self.params.vector_size == 64 and n_vertices > 4_000_000:
+            logger.warning(
+                "dim-64 tables at V=%d hit an XLA scatter lowering that "
+                "allocates 2-4x the table in temporaries and may OOM where "
+                "the table math says it fits; prefer dim 128 (runs in "
+                "place) or row-sharding (docs/scaling.md, "
+                "experiments/sgns_memory_probe.py)", n_vertices,
+            )
 
     def _keep_table(self):
         """[V] keep-probability table for ``params.sample`` subsampling, or
@@ -158,6 +182,7 @@ class Word2VecTPU:
                 checkpoint_every=checkpoint_every,
             )
 
+        self._warn_dim64_anomaly(n_v)
         emb_in, emb_out, acc_in, acc_out = init_embeddings(
             n_v, p.vector_size, seed=p.seed
         )
@@ -230,6 +255,7 @@ class Word2VecTPU:
                 shared_negatives=self.shared_negatives,
                 shrink_window=p.shrink_window,
                 min_lr=p.min_step_size,
+                optimizer=p.optimizer,
             )
             epoch_loss = float(losses.mean())  # mean over batches, not the last batch
             if ctx is not None:
@@ -321,6 +347,7 @@ class Word2VecTPU:
         vocab_mask = jnp.asarray(self.vocab.mask)
         keep = self._keep_table()
 
+        self._warn_dim64_anomaly(n_vertices)
         use_hs = p.negative == 0  # reference default objective (HS)
         use_cbow = p.sg == 0  # gensim's default architecture (models/cbow.py)
         if use_cbow:
@@ -365,7 +392,10 @@ class Word2VecTPU:
         batch = n_batches = lr_slope = None
         step0 = 0
         if chunk_walks is not None:  # resume: geometry known from snapshot
-            batch = _effective_batch(p.batch_walks, chunk_walks)
+            batch = _effective_batch(
+                p.batch_walks, chunk_walks,
+                target_updates=max(512 // n_chunks, 1),
+            )
             n_batches = chunk_walks // batch
             lr_slope = p.step_size / max(p.max_iter * n_chunks * n_batches, 1)
             step0 = (start_epoch * n_chunks + start_chunk) * n_batches
@@ -404,7 +434,10 @@ class Word2VecTPU:
                 n_walks_c = corpus.shape[0]
                 if chunk_walks is None:
                     chunk_walks = n_walks_c
-                    batch = _effective_batch(p.batch_walks, n_walks_c)
+                    batch = _effective_batch(
+                        p.batch_walks, n_walks_c,
+                        target_updates=max(512 // n_chunks, 1),
+                    )
                     n_batches = n_walks_c // batch
                     total_steps = max(
                         p.max_iter * n_chunks * n_batches, 1
@@ -482,6 +515,7 @@ class Word2VecTPU:
                         negatives=p.negative,
                         shared_negatives=self.shared_negatives,
                         shrink_window=p.shrink_window, min_lr=p.min_step_size,
+                        optimizer=p.optimizer,
                     )
                 if ctx is not None:
                     ctx.__exit__(None, None, None)
@@ -923,7 +957,8 @@ class Word2VecTPU:
         lr_slope = None
         if chunk_walks is not None:  # resume: geometry known from snapshot
             batch_local = max(
-                _effective_batch(p.batch_walks, chunk_walks, floor=n_dev)
+                _effective_batch(p.batch_walks, chunk_walks, floor=n_dev,
+                                 target_updates=max(512 // n_chunks, 1))
                 // n_dev, 1)
             n_batches = max((chunk_walks // n_dev) // batch_local, 1)
             lr_slope = p.step_size / max(p.max_iter * n_chunks * n_batches, 1)
@@ -979,7 +1014,8 @@ class Word2VecTPU:
                     chunk_walks = n_walks_c
                     batch_local = max(
                         _effective_batch(
-                            p.batch_walks, n_walks_c, floor=n_dev
+                            p.batch_walks, n_walks_c, floor=n_dev,
+                            target_updates=max(512 // n_chunks, 1),
                         ) // n_dev, 1
                     )
                     n_batches = max((n_walks_c // n_dev) // batch_local, 1)

@@ -792,6 +792,13 @@ class WalkEngine:
             parts.append(
                 self._run_chunk(chunk_starts, gid_base=lo, seed=seed)[: hi - lo]
             )
+            if (c_idx + 1) % 4 == 0:
+                # bound async enqueue depth: every pending chunk's walk
+                # working set is resident until it executes — at north-star
+                # scale (dozens of chunks on a chip already holding the
+                # graph tables) an unbounded queue OOMs (same class as the
+                # _streaming_counts fix in models/word2vec.py)
+                jax.block_until_ready(parts[-1])
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
 

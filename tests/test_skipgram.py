@@ -66,6 +66,26 @@ def test_fit_deterministic(karate_edges):
     np.testing.assert_array_equal(m1.vectors, m2.vectors)
 
 
+def test_fit_sgd_optimizer(karate_edges):
+    """optimizer="sgd" (the reference trainers' update rule, duplicate-mean
+    pre-aggregated): trains to finite decreasing loss and differs from the
+    Adagrad trajectory."""
+    src, dst = karate_edges
+    g = from_edge_arrays(src, dst, directed=False)
+    walks = random_walks(g, Node2VecParams(num_walks=10, walk_length=10), seed=0)
+    kw = dict(min_count=1, vector_size=32, max_iter=5, batch_walks=128, seed=3)
+    m_sgd = Word2VecTPU(
+        Word2VecParams(optimizer="sgd", step_size=0.025, **kw)
+    ).fit(walks, n_vertices=g.n_vertices)
+    assert np.isfinite(m_sgd.vectors).all()
+    assert m_sgd._losses[-1] < m_sgd._losses[0]
+    m_ada = Word2VecTPU(Word2VecParams(**kw)).fit(
+        walks, n_vertices=g.n_vertices
+    )
+    assert not np.allclose(m_sgd.vectors, m_ada.vectors)
+    pytest.raises(ValueError, Word2VecParams, optimizer="adam")
+
+
 def test_min_count_raises_on_empty_vocab():
     walks = np.array([[0, 1]], dtype=np.int32)
     model = Word2VecTPU(Word2VecParams(min_count=100, vector_size=32))
