@@ -426,7 +426,12 @@ def bench_northstar(scale: int, walk_length: int, dim: int) -> dict:
     corpus = engine.run_device(seed=0)
     float(jnp.sum(corpus[-1]))  # scalar readback: real sync via the tunnel
     walk_s = time.perf_counter() - t0
-    del engine, bg
+    # CAREFUL: `source` (the chunk_source closure) pins `engine`, which pins
+    # the 7.13 GiB blocked tables — deleting engine/bg alone leaks them and
+    # the staged dim-128 fit OOMs (found the hard way: the standalone
+    # staged probe, which never built the closure, passed while the bench
+    # failed)
+    del engine, bg, source
     import gc
 
     gc.collect()
@@ -605,6 +610,10 @@ def main() -> None:
     if ns_scale:
         import gc
 
+        # drop earlier stages' device arrays (scale-19 blocked tables,
+        # walk corpus) — the staged dim-128 fit needs every GiB of margin
+        paths = bg2 = g2 = g = None  # noqa: F841
+        gc.collect()
         try:
             extras["northstar"] = bench_northstar(ns_scale, walk_length, dim)
         except Exception as e:  # record the failure mode, keep the bench alive
