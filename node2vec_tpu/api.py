@@ -53,6 +53,7 @@ class Node2Vec:
         graph_sharded: bool = False,
         table_sharding: str = "column",
         shared_lists="auto",
+        host_corpus: bool = False,
     ):
         """``mesh``: optional jax (data × model) Mesh — walks shard walkers
         over 'data' and fit() trains TP×DP sharded (see node2vec_tpu.parallel).
@@ -72,6 +73,13 @@ class Node2Vec:
         ``shared_lists``: the blocked engine's exact 3-atom shared-list
         sampler (opt-in; see WalkEngine docstring for the measured
         trade-off).
+
+        ``host_corpus=True`` (single-device only): the walk corpus lives in
+        HOST RAM and training streams globally-shuffled slabs to the device
+        double-buffered (Word2VecTPU.fit_host).  The single-chip
+        configuration for the reference's flagship workload — num_walks=10 ×
+        dim 128 at 100M+ edges — where corpus + tables exceed one chip's HBM
+        (fit() keeps both resident; fit_streaming keeps the graph resident).
         """
         if table_sharding not in ("column", "row"):
             raise ValueError(
@@ -93,6 +101,12 @@ class Node2Vec:
         self.graph_sharded = graph_sharded
         self.table_sharding = table_sharding
         self.shared_lists = shared_lists
+        if host_corpus and mesh is not None:
+            raise ValueError(
+                "host_corpus is the single-device trainer path; on a mesh "
+                "use table_sharding='row' (+ streaming) instead"
+            )
+        self.host_corpus = host_corpus
         self.graph: Optional[Graph] = None
         self.walks: Optional[np.ndarray] = None
         self.backend: Optional[Node2VecTPUEmbedding] = None
@@ -180,6 +194,26 @@ class Node2Vec:
         engine = self._walk_engine()
         name_id = self.graph.names if self.graph.names is not None else None
         self.backend = Node2VecTPUEmbedding(name_id=name_id, w2v_params=self.w2v_params)
+        if self.host_corpus:
+            # walk to HOST RAM (pipelined striped readback), free the
+            # engine's device graph tables, then stream slabs back during
+            # training — corpus + tables never coexist in HBM
+            self.walks = engine.run(
+                seed=self.random_seed,
+                start_vertices=self.walk_seed_vertices,
+                checkpoint_dir=self.checkpoint_dir,
+            )
+            self._engine = None  # release the device graph tables
+            import gc
+
+            del engine
+            gc.collect()
+            self.backend.model.fit_host(
+                self.walks, n_vertices=self.graph.n_vertices, verbose=verbose,
+                checkpoint_dir=self.checkpoint_dir,
+            )
+            self.backend.walks = self.walks
+            return self.backend.model
         n_chunks, chunk_walks, source = engine.chunk_source(
             seed=self.random_seed, start_vertices=self.walk_seed_vertices
         )
@@ -246,6 +280,13 @@ class Node2Vec:
             self.backend.model.fit_sharded(
                 self.walks, self.mesh, n_vertices=n_v, verbose=verbose,
                 table_sharding=self.table_sharding,
+                checkpoint_dir=self.checkpoint_dir,
+            )
+        elif self.host_corpus:
+            self.backend.model.fit_host(
+                self.walks,
+                n_vertices=n_v,
+                verbose=verbose,
                 checkpoint_dir=self.checkpoint_dir,
             )
         else:

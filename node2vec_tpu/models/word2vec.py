@@ -279,6 +279,227 @@ class Word2VecTPU:
         self.emb_out = emb_out
         return self
 
+    def fit_host(
+        self,
+        walks: np.ndarray,
+        n_vertices: Optional[int] = None,
+        slab_walks: int = 1 << 20,
+        verbose: bool = False,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 1,
+        timer=None,
+    ) -> "Word2VecTPU":
+        """Host-resident-corpus trainer: the corpus never lives on device.
+
+        ``fit()`` keeps the whole corpus in HBM and materializes a second
+        fully-permuted copy per epoch — at the reference's flagship scale
+        (num_walks=10 × dim 128 on a 127M-edge graph,
+        ``/root/reference/README.md:28`` + ``constants.py:16-46`` defaults)
+        the 7 GiB corpus plus 8.6 GiB of tables cannot share one chip's HBM.
+        Here the corpus stays in host RAM; each epoch draws a host-side
+        GLOBAL permutation (stronger than the streaming path's hierarchical
+        shuffle), assembles slabs of ``slab_walks`` rows into pinned host
+        buffers, and uploads them double-buffered (slab k+1's transfer is
+        dispatched before slab k trains — h2d rides ahead of compute).  Each
+        slab trains with the existing one-dispatch epoch kernels, so device
+        memory is tables + two slabs, independent of corpus size.
+
+        Supports all three objectives like fit(): SGNS (sg=1, negative>0),
+        hierarchical softmax (negative=0), and CBOW (sg=0).  With
+        ``checkpoint_dir``, per-epoch train-state snapshots are written and
+        fit_host resumes from the newest epoch.  ``self._slab_losses`` keeps
+        the per-slab loss trajectory of the last run.
+        """
+        from node2vec_tpu.utils.checkpoint import (
+            load_train_state,
+            save_train_state,
+        )
+
+        p = self.params
+        walks = np.ascontiguousarray(walks, dtype=np.int32)
+        self.vocab = build_vocab(
+            walks, n_vertices, min_count=p.min_count, ns_exponent=p.ns_exponent
+        )
+        n_v = self.vocab.n_vertices
+        if self.vocab.n_kept == 0:
+            raise ValueError(
+                f"No vertex meets min_count={p.min_count}; corpus too small"
+            )
+        vocab_mask = jnp.asarray(self.vocab.mask)
+        keep = self._keep_table()
+        use_hs = p.negative == 0
+        use_cbow = p.sg == 0
+
+        n_walks = len(walks)
+        length = walks.shape[1]
+        batch = _effective_batch(p.batch_walks, n_walks)
+        slab = max((min(slab_walks, n_walks) // batch) * batch, batch)
+        slab_batches = slab // batch
+        n_slabs = -(-n_walks // slab)
+        n_batches_epoch = n_slabs * slab_batches
+        total_steps = max(p.max_iter * n_batches_epoch, 1)
+        lr_slope = p.step_size / total_steps
+        root_key = jax.random.PRNGKey(p.seed)
+
+        # objective state + one-slab trainer closure (mirrors fit_streaming's
+        # dispatch; every branch reuses the whole-epoch scan kernels with
+        # n_batches=slab_batches per uploaded slab)
+        if use_cbow:
+            from node2vec_tpu.models.cbow import cbow_epoch, cbow_hs_epoch
+        if use_hs:
+            from node2vec_tpu.models.hsoftmax import (
+                build_huffman,
+                cap_code_length,
+                head_level_offsets,
+                hs_epoch,
+            )
+
+            tree = cap_code_length(
+                build_huffman(self.vocab.counts), self.vocab.counts,
+                max_len=p.hs_max_code_length or None,
+            )
+            hs_points = jnp.asarray(tree.points)
+            hs_codes = jnp.asarray(tree.codes)
+            hs_len = jnp.asarray(tree.lengths)
+            hs_head = head_level_offsets(tree)
+        else:
+            ns_alias = jnp.asarray(self.vocab.ns_alias)
+            ns_prob = jnp.asarray(self.vocab.ns_prob)
+        self._warn_dim64_anomaly(n_v)
+        emb_in, emb_out, acc_in, acc_out = init_embeddings(
+            n_v, p.vector_size, seed=p.seed
+        )
+        if use_hs:
+            emb_out = jnp.zeros((tree.n_inner, p.vector_size), jnp.float32)
+            acc_out = jnp.zeros((tree.n_inner,), jnp.float32)
+        start_epoch = 0
+        ckpt = load_train_state(checkpoint_dir)
+        if ckpt is not None:
+            start_epoch, e_in, e_out, a_in, a_out = ckpt
+            emb_in, emb_out = jnp.asarray(e_in), jnp.asarray(e_out)
+            acc_in, acc_out = jnp.asarray(a_in), jnp.asarray(a_out)
+            logger.info("resuming host-corpus training from epoch %d", start_epoch)
+
+        def train_slab(state, slab_dev, step0):
+            e1, e2, a1, a2 = state
+            if use_hs and use_cbow:
+                return cbow_hs_epoch(
+                    e1, e2, a1, a2, slab_dev, root_key, jnp.int32(step0),
+                    jnp.float32(p.step_size), jnp.float32(lr_slope),
+                    hs_points, hs_codes, hs_len, vocab_mask,
+                    batch=batch, n_batches=slab_batches,
+                    window=p.window_size, shrink_window=p.shrink_window,
+                    min_lr=p.min_step_size, cbow_mean=p.cbow_mean,
+                )
+            if use_hs:
+                return hs_epoch(
+                    e1, e2, a1, a2, slab_dev, root_key, jnp.int32(step0),
+                    jnp.float32(p.step_size), jnp.float32(lr_slope),
+                    hs_points, hs_codes, hs_len, vocab_mask,
+                    batch=batch, n_batches=slab_batches,
+                    window=p.window_size, shrink_window=p.shrink_window,
+                    min_lr=p.min_step_size, head_offsets=hs_head,
+                )
+            if use_cbow:
+                return cbow_epoch(
+                    e1, e2, a1, a2, slab_dev, root_key, jnp.int32(step0),
+                    jnp.float32(p.step_size), jnp.float32(lr_slope),
+                    ns_alias, ns_prob, vocab_mask,
+                    batch=batch, n_batches=slab_batches,
+                    window=p.window_size, negatives=p.negative,
+                    shared_negatives=self.shared_negatives,
+                    shrink_window=p.shrink_window, min_lr=p.min_step_size,
+                    cbow_mean=p.cbow_mean,
+                )
+            return sgns_epoch(
+                e1, e2, a1, a2, slab_dev, root_key, jnp.int32(step0),
+                jnp.float32(p.step_size), jnp.float32(lr_slope),
+                ns_alias, ns_prob, vocab_mask,
+                batch=batch, n_batches=slab_batches,
+                window=p.window_size, negatives=p.negative,
+                shared_negatives=self.shared_negatives,
+                shrink_window=p.shrink_window, min_lr=p.min_step_size,
+                optimizer=p.optimizer,
+            )
+
+        # each slab is assembled into a FRESH host array and handed to
+        # device_put (which keeps it alive until the async h2d transfer
+        # lands) — slab k+1's upload rides ahead while slab k trains.
+        # Buffer reuse is deliberately avoided: on the CPU backend
+        # device_put can alias the numpy buffer zero-copy, so overwriting a
+        # staging buffer would corrupt a slab training hasn't consumed yet.
+        def make_slab(perm, s_idx):
+            lo = s_idx * slab
+            idx = perm[lo: lo + slab]
+            buf = np.empty((slab, length), np.int32)
+            np.take(walks, idx, axis=0, out=buf[: len(idx)])
+            if len(idx) < slab:  # tail slab: dead (-1) rows, trainers mask them
+                buf[len(idx):] = -1
+            return jax.device_put(buf)
+
+        # the tail slab's dead (-1) pad rows sit at its END, so its trailing
+        # batches can be entirely padding — they train nothing and report
+        # loss 0, which would silently deflate the epoch mean (fit() doesn't
+        # have this: its on-device shuffle mixes pad rows into every batch)
+        tail_real = n_walks - (n_slabs - 1) * slab
+        tail_real_batches = min(-(-tail_real // batch), slab_batches)
+
+        self._losses = []
+        self._slab_losses = []
+        for epoch in range(start_epoch, p.max_iter):
+            # host-side global shuffle: one permutation over the WHOLE corpus
+            perm = np.random.default_rng(
+                p.seed * 1_000_003 + 17 + epoch
+            ).permutation(n_walks)
+            ctx = timer.measure("host_epoch") if timer is not None else None
+            if ctx is not None:
+                ctx.__enter__()
+            pending = make_slab(perm, 0)
+            epoch_losses = []
+            for s in range(n_slabs):
+                slab_dev = pending
+                if s + 1 < n_slabs:  # upload next slab before training blocks
+                    pending = make_slab(perm, s + 1)
+                if keep is not None:  # gensim subsampling, redrawn per slab
+                    slab_dev = _subsample_walks(
+                        slab_dev,
+                        jax.random.fold_in(
+                            root_key, 4_000_000 + epoch * n_slabs + s
+                        ),
+                        keep,
+                    )
+                step0 = (epoch * n_slabs + s) * slab_batches
+                emb_in, emb_out, acc_in, acc_out, losses = train_slab(
+                    (emb_in, emb_out, acc_in, acc_out), slab_dev, step0
+                )
+                if s == n_slabs - 1:
+                    losses = losses[:tail_real_batches]
+                epoch_losses.append(losses)
+                if (s + 1) % 4 == 0:
+                    # bound async enqueue depth (see fit_streaming)
+                    jax.block_until_ready(losses)
+            if ctx is not None:
+                ctx.__exit__(None, None, None)
+            slab_means = [float(jnp.mean(x)) for x in epoch_losses]
+            self._slab_losses.append(slab_means)
+            self._losses.append(
+                float(jnp.mean(jnp.concatenate(epoch_losses)))
+            )
+            if verbose:
+                logger.info(
+                    "host epoch %d/%d loss=%.4f (%d slabs)",
+                    epoch + 1, p.max_iter, self._losses[-1], n_slabs,
+                )
+            if checkpoint_dir and (epoch + 1) % checkpoint_every == 0:
+                save_train_state(
+                    checkpoint_dir, epoch + 1,
+                    np.asarray(emb_in), np.asarray(emb_out),
+                    np.asarray(acc_in), np.asarray(acc_out),
+                )
+        self.emb_in = emb_in
+        self.emb_out = emb_out
+        return self
+
     def fit_streaming(
         self,
         walk_source,

@@ -676,6 +676,7 @@ class WalkEngine:
         start_vertices: Optional[np.ndarray] = None,
         checkpoint_dir: Optional[str] = None,
         timer=None,
+        readback_threads: int = 16,
     ) -> np.ndarray:
         """All walks as a host array [num_starts * num_walks, walk_length+1].
 
@@ -689,7 +690,17 @@ class WalkEngine:
         (the reference's every-10-steps lineage checkpoint analogue,
         spark.py:597-598); a changed configuration is detected by fingerprint
         and ignores stale chunks.
+
+        Device->host readback is PIPELINED: chunk k+1's walk kernel is
+        dispatched before chunk k's rows are fetched, and each fetch is
+        striped over ``readback_threads`` concurrent streams — the
+        attached-TPU tunnel's d2h path is per-stream throttled (~10 MB/s a
+        stream, aggregates roughly linearly; measured round 5), so at
+        north-star corpus sizes the readback hides behind the walk compute
+        instead of serializing after it.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         from node2vec_tpu.utils.checkpoint import (
             load_walk_chunks,
             save_walk_chunk,
@@ -711,27 +722,63 @@ class WalkEngine:
         )
         done = load_walk_chunks(checkpoint_dir, fingerprint=fp)
         out = np.empty((n_total, p.walk_length + 1), dtype=np.int32)
-        for c_idx, lo in enumerate(range(0, n_total, chunk)):
-            hi = min(lo + chunk, n_total)
-            if c_idx in done and done[c_idx].shape == (hi - lo, p.walk_length + 1):
-                out[lo:hi] = done[c_idx]
-                continue
-            chunk_starts = np.full(chunk, -1, dtype=np.int32)
-            chunk_starts[: hi - lo] = starts[lo:hi]
-            ctx = timer.measure("walk_chunk") if timer is not None else _null_ctx()
-            t0 = time.perf_counter()
-            with ctx:
-                paths = self._run_chunk(chunk_starts, gid_base=lo, seed=seed)
-                chunk_out = np.asarray(jax.block_until_ready(paths))[: hi - lo]
+        pool = (
+            ThreadPoolExecutor(readback_threads)
+            if readback_threads > 1
+            else None
+        )
+
+        def fetch_rows(paths, n_rows: int, dst: np.ndarray) -> None:
+            if pool is None or n_rows < 4 * readback_threads:
+                dst[:n_rows] = np.asarray(paths)[:n_rows]
+                return
+            band = -(-n_rows // readback_threads)
+
+            def one(t):
+                a, b = t * band, min((t + 1) * band, n_rows)
+                if a < b:
+                    dst[a:b] = np.asarray(paths[a:b])
+
+            list(pool.map(one, range(readback_threads)))
+
+        pending = None  # (device paths, lo, hi, c_idx, dispatch time)
+
+        def drain() -> None:
+            nonlocal pending
+            if pending is None:
+                return
+            paths, lo, hi, c_idx, t0 = pending
+            pending = None
+            fetch_rows(paths, hi - lo, out[lo:hi])
             dt = time.perf_counter() - t0
-            steps = int((chunk_out >= 0).sum()) - (hi - lo)
+            steps = int((out[lo:hi] >= 0).sum()) - (hi - lo)
             logger.info(
-                "walk chunk %d [%d:%d] strategy=%s %.2fs (%.0f steps/s)",
+                "walk chunk %d [%d:%d] strategy=%s %.2fs (%.0f steps/s, "
+                "incl. pipelined readback)",
                 c_idx, lo, hi, self.strategy, dt, steps / dt if dt > 0 else 0,
             )
-            out[lo:hi] = chunk_out
             if checkpoint_dir:
-                save_walk_chunk(checkpoint_dir, c_idx, chunk_out, fingerprint=fp)
+                save_walk_chunk(checkpoint_dir, c_idx, out[lo:hi], fingerprint=fp)
+
+        try:
+            for c_idx, lo in enumerate(range(0, n_total, chunk)):
+                hi = min(lo + chunk, n_total)
+                if c_idx in done and done[c_idx].shape == (hi - lo, p.walk_length + 1):
+                    drain()
+                    out[lo:hi] = done[c_idx]
+                    continue
+                chunk_starts = np.full(chunk, -1, dtype=np.int32)
+                chunk_starts[: hi - lo] = starts[lo:hi]
+                ctx = timer.measure("walk_chunk") if timer is not None else _null_ctx()
+                t0 = time.perf_counter()
+                with ctx:
+                    paths = self._run_chunk(chunk_starts, gid_base=lo, seed=seed)
+                    drain()  # fetch the PREVIOUS chunk while this one computes
+                pending = (paths, lo, hi, c_idx, t0)
+            drain()
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=True)
         return out
 
 

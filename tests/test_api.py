@@ -120,6 +120,25 @@ def test_run_pipeline_device_resident(toy_df):
     assert len(emb) == 6
 
 
+def test_run_pipeline_host_corpus(toy_df):
+    """host_corpus mode: walk to host RAM, train via fit_host slabs."""
+    n2v = Node2Vec(
+        n2v_params=SMALL_N2V, w2v_params=SMALL_W2V, random_seed=7,
+        host_corpus=True,
+    )
+    n2v.preprocess_input_graph(toy_df, indexed=False, directed=False)
+    model = n2v.run_pipeline()
+    assert model.vectors.shape == (6, 32)
+    assert np.isfinite(model.vectors).all()
+    assert isinstance(n2v.walks, np.ndarray)  # corpus kept on host
+    assert len(n2v.embedding()) == 6
+    # host_corpus is a single-device path: mesh combination must refuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="host_corpus"):
+        Node2Vec(host_corpus=True, mesh=object())
+
+
 def test_native_profile_defaults():
     n2v = Node2Vec(profile="native")
     assert n2v.n2v_params.num_walks == 20  # reference spark.py:36-38
