@@ -62,6 +62,13 @@ def build_huffman(counts: np.ndarray) -> HuffmanTree:
 
     Zero-count vertices get count 1 so every vertex has a valid path (they are
     masked out of training by the vocab mask anyway).
+
+    Large vocabularies (>= 64k) route the merge through the native core's
+    O(n) two-queue algorithm (word2vec.c's construction; python heapq is
+    minutes of host time at north-star vertex counts) and the path
+    extraction through ~CODE_LEN vectorized passes.  The two merges can
+    resolve count ties differently — both are optimal Huffman codes with
+    identical length multisets.
     """
     counts = np.maximum(np.asarray(counts, dtype=np.int64), 1)
     n = len(counts)
@@ -70,29 +77,46 @@ def build_huffman(counts: np.ndarray) -> HuffmanTree:
             np.zeros((1, 1), np.int32), np.zeros((1, 1), np.int8),
             np.ones(1, np.int32), 1, np.array([0, 1], np.int64),
         )
-    # heap of (count, tiebreak, node_id); leaves 0..n-1, inner n..2n-2
-    heap = [(int(c), i, i) for i, c in enumerate(counts)]
-    heapq.heapify(heap)
-    parent = np.zeros(2 * n - 1, dtype=np.int64)
-    branch = np.zeros(2 * n - 1, dtype=np.int8)
-    nxt = n
-    while len(heap) > 1:
-        c1, _, a = heapq.heappop(heap)
-        c2, _, b = heapq.heappop(heap)
-        parent[a] = nxt
-        parent[b] = nxt
-        branch[b] = 1
-        heapq.heappush(heap, (c1 + c2, nxt, nxt))
-        nxt += 1
-    root = nxt - 1
-    n_inner = nxt - n
+    from node2vec_tpu import native
 
-    # breadth-first renumbering: Huffman allocation is bottom-up (parent id >
-    # child id), so one descending pass assigns depths; stable sort by depth
-    # gives each level a contiguous id range (level_offsets)
-    depth = np.zeros(2 * n - 1, dtype=np.int32)
-    for x in range(2 * n - 3, n - 1, -1):
-        depth[x] = depth[parent[x]] + 1
+    if native.available() and n >= 65536:
+        order0 = np.argsort(counts, kind="stable")
+        p_s, b_s, d_s = native.huffman_merge(counts[order0])
+        parent = np.empty(2 * n - 1, dtype=np.int64)
+        branch = np.empty(2 * n - 1, dtype=np.int8)
+        depth = np.empty(2 * n - 1, dtype=np.int32)
+        parent[order0] = p_s[:n]
+        branch[order0] = b_s[:n]
+        depth[order0] = d_s[:n]
+        parent[n:] = p_s[n:]
+        branch[n:] = b_s[n:]
+        depth[n:] = d_s[n:]
+    else:
+        # heap of (count, tiebreak, node_id); leaves 0..n-1, inner n..2n-2
+        heap = [(int(c), i, i) for i, c in enumerate(counts)]
+        heapq.heapify(heap)
+        parent = np.zeros(2 * n - 1, dtype=np.int64)
+        branch = np.zeros(2 * n - 1, dtype=np.int8)
+        nxt = n
+        while len(heap) > 1:
+            c1, _, a = heapq.heappop(heap)
+            c2, _, b = heapq.heappop(heap)
+            parent[a] = nxt
+            parent[b] = nxt
+            branch[b] = 1
+            heapq.heappush(heap, (c1 + c2, nxt, nxt))
+            nxt += 1
+        # Huffman allocation is bottom-up (parent id > child id), so one
+        # descending pass assigns depths
+        depth = np.zeros(2 * n - 1, dtype=np.int32)
+        for x in range(2 * n - 3, n - 1, -1):
+            depth[x] = depth[parent[x]] + 1
+        depth[:n] = depth[parent[:n]] + 1
+    root = 2 * n - 2
+    n_inner = n - 1
+
+    # breadth-first renumbering: stable sort by depth gives each level a
+    # contiguous id range (level_offsets)
     inner_depth = depth[n:]
     order = np.argsort(inner_depth, kind="stable")
     new_id = np.empty(n_inner, dtype=np.int64)
@@ -101,28 +125,24 @@ def build_huffman(counts: np.ndarray) -> HuffmanTree:
         [[0], np.cumsum(np.bincount(inner_depth))]
     ).astype(np.int64)
 
-    max_len = 0
-    paths = []
-    for v in range(n):
-        code = []
-        pts = []
-        node = v
-        while node != root:
-            code.append(branch[node])
-            pts.append(new_id[parent[node] - n])  # BFS inner-node id
-            node = parent[node]
-        code.reverse()
-        pts.reverse()
-        paths.append((pts, code))
-        max_len = max(max_len, len(code))
-
+    # vectorized leaf->root path extraction: pass i writes every still-active
+    # leaf's appended entry i into column (length-1-i), i.e. the reversed
+    # (root-first) layout the trainer consumes
+    lengths = depth[:n].astype(np.int32)
+    max_len = int(lengths.max())
     points = np.zeros((n, max_len), dtype=np.int32)
     codes = np.zeros((n, max_len), dtype=np.int8)
-    lengths = np.zeros(n, dtype=np.int32)
-    for v, (pts, code) in enumerate(paths):
-        points[v, : len(pts)] = pts
-        codes[v, : len(code)] = code
-        lengths[v] = len(code)
+    node = np.arange(n, dtype=np.int64)
+    active = np.arange(n, dtype=np.int64)
+    for i in range(max_len):
+        cols = lengths[active] - 1 - i
+        keep = cols >= 0
+        active = active[keep]
+        cols = cols[keep]
+        cur = node[active]
+        points[active, cols] = new_id[parent[cur] - n]
+        codes[active, cols] = branch[cur]
+        node[active] = parent[cur]
     return HuffmanTree(points, codes, lengths, n_inner, level_offsets)
 
 

