@@ -76,6 +76,7 @@ def partition_blocked_graph(
     block_width: int | None = None,
     mesh: Mesh | None = None,
     axis_name: str = "data",
+    ranged_metadata: bool = False,
 ) -> PartitionedBlockedGraph:
     """Range-partition a CSR graph into per-shard blocked tables.
 
@@ -83,6 +84,11 @@ def partition_blocked_graph(
     shards), then each vertex range is packed independently and padded to
     common shapes.  With ``mesh`` given, arrays are device_put sharded
     ``P(axis_name, None)`` so each device holds ONLY its shard.
+
+    ``ranged_metadata=True`` uses the range-exchange metadata pass
+    (``walk.blocked._edge_metadata_ranged``) — one vertex range's working
+    set at a time, and since the membership-exchange round its triangle
+    bits are EXACT too, so walks bit-match the global pass.
     """
     indptr = np.asarray(indptr, dtype=np.int64)
     indices = np.asarray(indices, dtype=np.int32)
@@ -98,7 +104,12 @@ def partition_blocked_graph(
     c = block_width
     _check_capacity(max_deg, p_l, c)
 
-    rev_enc, pfx = _edge_metadata(indptr, indices, weights)
+    if ranged_metadata:
+        from node2vec_tpu.walk.blocked import _edge_metadata_ranged
+
+        rev_enc, pfx = _edge_metadata_ranged(indptr, indices, weights, n_shards)
+    else:
+        rev_enc, pfx = _edge_metadata(indptr, indices, weights)
     v_p = -(-n_v // n_shards)
     # pad the CSR with isolated vertices so every shard covers a full range
     if n_shards * v_p > n_v:
@@ -168,9 +179,9 @@ def save_partitioned_graph(
 
     ``ranged_metadata=True`` computes the per-edge reverse metadata with the
     range-exchange algorithm (``walk.blocked._edge_metadata_ranged``) — the
-    distributed-pack path whose working set is one vertex range at a time,
-    at the cost of conservative cross-range triangle bits (exact rev/pfx,
-    identical walk distribution, more rejection attempts for q != 1).
+    distributed-pack path whose working set is one vertex range at a time.
+    Since the membership-exchange round, its triangle bits are EXACT, so the
+    resulting pack walks bit-for-bit like the global-metadata pack.
     """
     import json
     import os
