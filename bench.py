@@ -180,11 +180,18 @@ def bench_sgns(g, walks: np.ndarray, dim: int, n_steps: int, batch_walks: int):
     *state, loss = step((emb_in, emb_out, acc_in, acc_out), 0)
     float(loss)
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for i in range(1, n_steps + 1):
-        *state, loss = step(tuple(state), i)
-    float(loss)  # scalar readback; depends on every prior step's state
-    dt = time.perf_counter() - t0
+    # best-of-3 timed blocks: identical-code A/B runs (round 5, BASELINE.md)
+    # showed 47-76M pair-updates/s within ten minutes on one grant — the
+    # tunnel-attached chip's effective throughput drifts on the minute scale,
+    # so a single block conflates grant weather with code regressions
+    best_dt = float("inf")
+    for block in range(3):
+        t0 = time.perf_counter()
+        for i in range(1, n_steps + 1):
+            *state, loss = step(tuple(state), block * n_steps + i)
+        float(loss)  # scalar readback; depends on every prior step's state
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    dt = best_dt
     pairs_per_s = n_pairs * n_steps / dt
     # roofline: positional SGNS moves ~6 table rows (dim f32) per walk
     # position (in/out gather + grad scatter x2 tables + accumulators) and
@@ -260,10 +267,13 @@ def bench_hs(g, walks: np.ndarray, dim: int, n_steps: int, batch_walks: int):
     t0 = time.perf_counter()
     run()
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    loss = run()
-    dt = time.perf_counter() - t0
-    pairs_per_s = n_pairs / dt
+    best_dt, loss = float("inf"), 0.0
+    for _ in range(3):  # best-of-3: see bench_sgns grant-drift note
+        t0 = time.perf_counter()
+        loss = run()
+        dt = time.perf_counter() - t0
+        best_dt = min(best_dt, dt)
+    pairs_per_s = n_pairs / best_dt
     log(
         f"hs: dim={dim} CL={tree.points.shape[1]} head_rows={head[-1]} "
         f"compile={compile_s:.1f}s steady {pairs_per_s:,.0f} pair-updates/s "
