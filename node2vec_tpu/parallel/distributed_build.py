@@ -111,6 +111,32 @@ def _route(values: np.ndarray, owner: np.ndarray, nparts: int):
     return blocks, order, bounds
 
 
+def _names_to_payload(a: np.ndarray, width: int) -> np.ndarray:
+    """Fixed-width byte names (``S{width}``, width % 8 == 0) as an int64
+    [n, width/8] exchange payload (raw byte reinterpret — comparisons only
+    ever happen on the S form, where numpy's byte order IS the UTF-8
+    lexicographic order, which equals code-point order)."""
+    n = len(a)
+    if n == 0:
+        return np.zeros((0, width // 8), np.int64)
+    raw = np.frombuffer(
+        np.ascontiguousarray(a).tobytes(), np.uint8
+    ).reshape(n, a.dtype.itemsize)
+    if a.dtype.itemsize < width:
+        raw = np.concatenate(
+            [raw, np.zeros((n, width - a.dtype.itemsize), np.uint8)], axis=1
+        )
+    return np.ascontiguousarray(raw).view(np.int64)
+
+
+def _payload_to_names(p: np.ndarray, width: int) -> np.ndarray:
+    """Inverse of _names_to_payload."""
+    p = np.ascontiguousarray(np.asarray(p, np.int64))
+    if len(p) == 0:
+        return np.zeros(0, f"S{width}")
+    return np.frombuffer(p.view(np.uint8).tobytes(), dtype=f"S{width}")
+
+
 def build_participant(
     pid: int,
     nparts: int,
@@ -165,16 +191,27 @@ def build_participant(
 
     src = np.asarray(src)
     dst = np.asarray(dst)
-    if not (
-        np.issubdtype(src.dtype, np.integer)
-        and np.issubdtype(dst.dtype, np.integer)
+    is_str = src.dtype.kind in ("U", "S", "O") or dst.dtype.kind in (
+        "U", "S", "O"
+    )
+    if is_str:
+        if indexed:
+            raise ValueError("indexed=True requires integer vertex ids")
+        # UTF-8 byte order == code-point order, so the fixed-width byte
+        # pipeline below reproduces the host indexer's np.unique id order
+        # bit-for-bit (NUL bytes inside names are unsupported — numpy's S
+        # comparisons stop at trailing NULs)
+        src_b = np.char.encode(src.astype("U"), "utf-8")
+        dst_b = np.char.encode(dst.astype("U"), "utf-8")
+    elif np.issubdtype(src.dtype, np.integer) and np.issubdtype(
+        dst.dtype, np.integer
     ):
+        src = src.astype(np.int64)
+        dst = dst.astype(np.int64)
+    else:
         raise NotImplementedError(
-            "distributed indexing supports integer vertex names; index "
-            "string names with graph/indexer.py first"
+            "distributed indexing supports integer or string vertex names"
         )
-    src = src.astype(np.int64)
-    dst = dst.astype(np.int64)
     n_local = len(src)
     w = (
         np.ones(n_local, dtype=np.float32)
@@ -206,15 +243,48 @@ def build_participant(
             raise ValueError("indexed vertex ids must fit int32 (< 2^31)")
     else:
         # ---- stage 1: distributed sorted-unique indexing ----
-        lu = np.unique(np.concatenate([src, dst])) if n_local else np.array([], np.int64)
+        # Name-kind generic: integer names exchange as int64 scalars; string
+        # names (round-4 VERDICT item 8) agree on a global fixed byte width
+        # first and exchange as raw-byte int64 lanes — all comparisons happen
+        # on numpy S arrays, whose byte order reproduces np.unique's
+        # code-point order, so the resulting ids bit-match the host-global
+        # indexer (graph/indexer.py factorize path).
+        if is_str:
+            wloc = max(src_b.dtype.itemsize, dst_b.dtype.itemsize, 1)
+            recv = yield [np.array([[wloc]], np.int64)] * nparts
+            width = -(-max(int(r[0, 0]) for r in recv) // 8) * 8
+            sdt = f"S{width}"
+            src_n = src_b.astype(sdt)
+            dst_n = dst_b.astype(sdt)
+
+            def enc(a):
+                return _names_to_payload(np.asarray(a, sdt), width)
+
+            def dec(p):
+                return _payload_to_names(p, width)
+
+        else:
+            src_n, dst_n = src, dst
+
+            def enc(a):
+                return np.asarray(a, np.int64).reshape(-1, 1)
+
+            def dec(p):
+                return np.asarray(p, np.int64).reshape(-1)
+
+        lu = (
+            np.unique(np.concatenate([src_n, dst_n]))
+            if n_local
+            else dec(enc([]))
+        )
         # sample-based splitters (deterministic: every participant derives
         # them from the same merged sample multiset)
         n_samp = min(len(lu), 64)
         samp = lu[np.linspace(0, len(lu) - 1, n_samp).astype(np.int64)] if n_samp else lu
-        recv = yield [samp.reshape(-1, 1)] * nparts
-        merged = np.sort(np.concatenate([r.reshape(-1) for r in recv]))
+        recv = yield [enc(samp)] * nparts
+        merged = np.sort(np.concatenate([dec(r) for r in recv]))
         if len(merged) == 0:
-            splitters = np.zeros(nparts - 1, np.int64)
+            splitters = merged[:0] if is_str else np.zeros(nparts - 1, np.int64)
         else:
             qs = (np.arange(1, nparts) * len(merged)) // nparts
             splitters = merged[np.minimum(qs, len(merged) - 1)]
@@ -222,27 +292,31 @@ def build_participant(
         def owner_of_name(x):
             return np.searchsorted(splitters, x, side="right").astype(np.int64)
 
-        blocks, _, _ = _route(lu.reshape(-1, 1), owner_of_name(lu), nparts)
+        blocks, _, _ = _route(enc(lu), owner_of_name(lu), nparts)
         recv = yield blocks
-        my_names = np.unique(np.concatenate([r.reshape(-1) for r in recv]))
+        my_names = np.unique(np.concatenate([dec(r) for r in recv]))
         recv = yield [np.array([[len(my_names)]], np.int64)] * nparts
         name_counts = np.array([int(r[0, 0]) for r in recv], np.int64)
         name_base = int(name_counts[:pid].sum())
         n_vertices = int(name_counts.sum())
         if n_vertices >= 2**31:
             raise ValueError(f"Too many vertices for int32 ids: {n_vertices}")
-        names = my_names  # this participant's slice of the global name table
+        # this participant's slice of the global name table (strings decode
+        # back to the host indexer's unicode dtype)
+        names = (
+            np.char.decode(my_names, "utf-8") if is_str else my_names
+        )
 
         # endpoint lookups: route queries to name owners, answers ride the
         # mirrored exchange back (bucket j of the reply aligns with what we
         # sent j — the exchange is an involution on bucket layout)
-        queries = np.concatenate([src, dst])
+        queries = np.concatenate([src_n, dst_n])
         q_owner = owner_of_name(queries)
-        q_blocks, q_order, _ = _route(queries.reshape(-1, 1), q_owner, nparts)
+        q_blocks, q_order, _ = _route(enc(queries), q_owner, nparts)
         recv = yield q_blocks
         answers = []
         for r in recv:
-            q = r.reshape(-1)
+            q = dec(r)
             pos = np.searchsorted(my_names, q)
             pos_c = np.minimum(pos, max(len(my_names) - 1, 0))
             ok = (pos < len(my_names)) & (

@@ -299,6 +299,39 @@ def main() -> None:
                 assert int(b) in adj_ref[int(a)]
     print(f"proc {pid}: DISTRIBUTED_BUILD_OK", flush=True)
 
+    # distributed STRING-name indexing across real processes (round-4
+    # VERDICT item 8): fixed-width UTF-8 exchange must reproduce the
+    # host-global indexer's ids; unicode + shared prefixes exercised
+    s_src = np.array(
+        [f"né{x:011x}" if x % 5 else f"v{x}" for x in b_src], dtype=object
+    )
+    s_dst = np.array(
+        [f"né{x:011x}" if x % 5 else f"v{x}" for x in b_dst], dtype=object
+    )
+    res_s = run_distributed(
+        build_participant(
+            pid, nproc, s_src[sl], s_dst[sl], b_w[sl], n_shards=n_shards,
+            indexed=False, directed=False, max_out_degree=48, random_seed=5,
+        )
+    )
+    g_s = build_graph(
+        (s_src, s_dst, b_w), indexed=False, directed=False,
+        max_out_degree=48, random_seed=5,
+    )
+    all_names = np.asarray(g_s.names).astype("U")
+    loc = np.asarray(res_s.names).astype("U")
+    np.testing.assert_array_equal(
+        loc, all_names[res_s.name_base : res_s.name_base + len(loc)]
+    )
+    v_ps = res_s.meta["rows_per_shard"]
+    rpp_s = n_shards // nproc
+    lo_s = pid * rpp_s * v_ps
+    hi_s = min((pid + 1) * rpp_s * v_ps, g_s.n_vertices)
+    np.testing.assert_array_equal(
+        res_s.indices, g_s.indices[g_s.indptr[lo_s] : g_s.indptr[hi_s]]
+    )
+    print(f"proc {pid}: DISTRIBUTED_BUILD_STR_OK", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -68,3 +68,4 @@ def test_multi_process_mesh_all_sharded_paths(nproc, devs_per_proc):
         assert "ROWSHARDED_HS_OK" in out, out[-2000:]
         assert "STREAMING_SHARDED_OK" in out, out[-2000:]
         assert "DISTRIBUTED_BUILD_OK" in out, out[-2000:]
+        assert "DISTRIBUTED_BUILD_STR_OK" in out, out[-2000:]
