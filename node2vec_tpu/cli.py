@@ -147,7 +147,10 @@ def stage_embed(args) -> None:
         df_walks=walks, name_id=g.names, w2v_params=params
     )
     t0 = time.time()
-    backend.model.fit(
+    fit = (
+        backend.model.fit_host if args.host_corpus else backend.model.fit
+    )
+    fit(
         walks,
         n_vertices=g.n_vertices,
         verbose=True,
@@ -312,6 +315,13 @@ def main(argv=None) -> int:
         help="frequent-vertex subsampling threshold (gensim 'sample'; 0 = off)",
     )
     p_embed.add_argument("--checkpoint", action="store_true")
+    p_embed.add_argument(
+        "--host-corpus", action="store_true",
+        help="keep the walk corpus in host RAM and stream shuffled slabs "
+        "to the device (fit_host) — the single-chip mode for corpora that "
+        "do not fit HBM next to the tables (e.g. the reference-default "
+        "num_walks=10 x dim 128 at 100M+ edges)",
+    )
 
     p_eval = sub.add_parser(
         "eval",

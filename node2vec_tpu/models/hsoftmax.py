@@ -125,11 +125,16 @@ def build_huffman(counts: np.ndarray) -> HuffmanTree:
         [[0], np.cumsum(np.bincount(inner_depth))]
     ).astype(np.int64)
 
-    # vectorized leaf->root path extraction: pass i writes every still-active
-    # leaf's appended entry i into column (length-1-i), i.e. the reversed
-    # (root-first) layout the trainer consumes
+    # leaf->root path extraction into the reversed (root-first) layout the
+    # trainer consumes: threaded C++ when available (19s of numpy passes at
+    # 8.4M vertices), else ~CODE_LEN vectorized numpy passes
     lengths = depth[:n].astype(np.int32)
     max_len = int(lengths.max())
+    if native.available():
+        points, codes = native.huffman_paths(
+            parent, branch, new_id, lengths, max_len
+        )
+        return HuffmanTree(points, codes, lengths, n_inner, level_offsets)
     points = np.zeros((n, max_len), dtype=np.int32)
     codes = np.zeros((n, max_len), dtype=np.int8)
     node = np.arange(n, dtype=np.int64)

@@ -163,6 +163,18 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int8),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.n2v_huffman_paths.restype = ctypes.c_int
+    lib.n2v_huffman_paths.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.c_int32,
+    ]
     _lib = lib
     return _lib
 
@@ -449,6 +461,40 @@ def huffman_merge(
     if rc != 0:
         raise ValueError(f"n2v_huffman failed with status {rc}")
     return parent, branch, depth
+
+
+def huffman_paths(
+    parent: np.ndarray,
+    branch: np.ndarray,
+    new_id: np.ndarray,
+    lengths: np.ndarray,
+    max_len: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Threaded leaf->root path extraction into the root-first padded
+    (points, codes) layout (see n2v_huffman_paths)."""
+    lib = _load()
+    assert lib is not None
+    n = len(lengths)
+    parent = np.ascontiguousarray(parent, dtype=np.int64)
+    branch = np.ascontiguousarray(branch, dtype=np.int8)
+    new_id = np.ascontiguousarray(new_id, dtype=np.int64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    points = np.empty((n, max_len), dtype=np.int32)
+    codes = np.empty((n, max_len), dtype=np.int8)
+    rc = lib.n2v_huffman_paths(
+        n,
+        _ptr(parent, ctypes.c_int64),
+        _ptr(branch, ctypes.c_int8),
+        _ptr(new_id, ctypes.c_int64),
+        _ptr(lengths, ctypes.c_int32),
+        max_len,
+        _ptr(points, ctypes.c_int32),
+        _ptr(codes, ctypes.c_int8),
+        _N_THREADS,
+    )
+    if rc != 0:
+        raise ValueError(f"n2v_huffman_paths failed with status {rc}")
+    return points, codes
 
 
 def mirror_dedup(

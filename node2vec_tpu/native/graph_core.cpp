@@ -633,4 +633,47 @@ int n2v_huffman(int64_t n, const int64_t* counts_sorted, int64_t* parent,
   return 0;
 }
 
+// Leaf->root path extraction into the root-first padded layout the HS
+// trainer consumes: points[v][c] = BFS inner id (new_id) of v's depth-c
+// ancestor's child edge, codes[v][c] = branch bit.  Threaded per leaf —
+// the ~CODE_LEN vectorized numpy passes were 19s of the 8.4M-vertex build.
+int n2v_huffman_paths(int64_t n, const int64_t* parent, const int8_t* branch,
+                      const int64_t* new_id, const int32_t* lengths,
+                      int32_t max_len, int32_t* points, int8_t* codes,
+                      int32_t n_threads) {
+  if (n < 1 || max_len < 1) return -1;
+  int64_t root = 2 * n - 2;
+  std::vector<std::thread> threads;
+  int T = n_threads < 1 ? 1 : n_threads;
+  int64_t chunk = (n + T - 1) / T;
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t v = lo; v < hi; ++v) {
+      int32_t len = lengths[v];
+      int32_t* pt = points + v * max_len;
+      int8_t* cd = codes + v * max_len;
+      int64_t node = v;
+      for (int32_t i = len - 1; i >= 0; --i) {
+        pt[i] = static_cast<int32_t>(new_id[parent[node] - n]);
+        cd[i] = branch[node];
+        node = parent[node];
+      }
+      for (int32_t i = len; i < max_len; ++i) {
+        pt[i] = 0;
+        cd[i] = 0;
+      }
+      (void)root;
+    }
+  };
+  if (T == 1 || n < 4096) {
+    work(0, n);
+  } else {
+    for (int t = 0; t < T; ++t) {
+      int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+      if (lo < hi) threads.emplace_back(work, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+  }
+  return 0;
+}
+
 }  // extern "C"
