@@ -54,6 +54,35 @@ def _sync(x) -> float:
 
 
 GATHER_FLOOR_NS = 22.0  # measured XLA row-gather issue floor on v5e
+# Table-SIZE dependence of the gather cost (round-4 VERDICT do-item 10):
+# dependent-chain row gathers — the walk loop's access shape — measured at
+# the engine's 512B row width across table sizes
+# (experiments/gather_curve.py, round 5).  The SHAPE (1.26x from 131k to
+# 8.4M rows) is stable across grants while the absolute level rides chip
+# weather, so the floor keeps the round-1 22ns ANCHOR at 131k rows and
+# scales it by the measured curve: at north-star 8.4M vertices the honest
+# per-gather floor is ~27.7ns, not 22ns — which is why the scale-23
+# fraction-of-floor read 0.77 with no real regression.
+GATHER_CURVE_NS = {17: 25.74, 19: 33.01, 21: 31.34, 23: 32.40}
+
+
+def gather_floor_ns(n_rows: int) -> float:
+    """Size-interpolated gather floor: 22ns anchor x measured size curve."""
+    import math
+
+    pts = sorted(GATHER_CURVE_NS.items())
+    s = math.log2(max(int(n_rows), 2))
+    if s <= pts[0][0]:
+        cur = pts[0][1]
+    elif s >= pts[-1][0]:
+        cur = pts[-1][1]
+    else:
+        cur = pts[-1][1]
+        for (s0, v0), (s1, v1) in zip(pts, pts[1:]):
+            if s0 <= s <= s1:
+                cur = v0 + (v1 - v0) * (s - s0) / (s1 - s0)
+                break
+    return GATHER_FLOOR_NS * cur / pts[0][1]
 # dense-engine biased-step costs ABOVE its single gather, measured by
 # interleaved A/B decomposition (experiments/dense_profile.py, round 3):
 # the exact all-pairs shared-neighbor mask is VPU/lowering-bound at
@@ -128,7 +157,8 @@ def bench_walks(g, num_walks: int, walk_length: int, p: float, q: float,
         if engine.strategy == "dense" and not (p == q == 1.0)
         else 0.0
     )
-    floor_ns = GATHER_FLOOR_NS * gathers * att_per_step + extra_ns
+    g_ns = gather_floor_ns(g.n_vertices)
+    floor_ns = g_ns * gathers * att_per_step + extra_ns
     floor_frac = min(1.0, floor_ns / ns_per_step)
     log(
         f"walks(p={p},q={q}) strategy={engine.strategy}: chunk={chunk} "
@@ -141,7 +171,7 @@ def bench_walks(g, num_walks: int, walk_length: int, p: float, q: float,
         "ns_per_step": round(ns_per_step, 1),
         "gather_ops_modeled": gathers,
         "attempts_per_step": round(att_per_step, 2),
-        "gather_floor_ns": GATHER_FLOOR_NS,
+        "gather_floor_ns": round(g_ns, 2),
         "extra_floor_ns": extra_ns,
         "floor_ns_per_step": round(floor_ns, 1),
         "fraction_of_gather_floor": round(floor_frac, 3),

@@ -44,20 +44,23 @@ def bench_gather(n_rows: int, width: int = 128, n_chain: int = 8,
         np.random.default_rng(1).integers(0, n_rows, w, dtype=np.int32)
     )
 
+    # table must be an ARGUMENT, not a closure: closed-over arrays are
+    # serialized into the program and a 64MB+ constant overflows the
+    # remote-compile request (HTTP 413)
     @jax.jit
-    def step(idx):
+    def step(tbl, idx):
         for _ in range(n_chain):
-            rows = table[idx]
+            rows = tbl[idx]
             # dependent: next indices come from the fetched rows (mod V)
             idx = (rows[:, 0] ^ rows[:, 64]) % n_rows
         return idx
 
-    out = step(idx0)
+    out = step(table, idx0)
     float(jnp.sum(out))  # compile + sync
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        out = step(out)
+        out = step(table, out)
         float(jnp.sum(out))
         times.append(time.perf_counter() - t0)
     med = sorted(times)[len(times) // 2]

@@ -52,6 +52,70 @@ def _log_sigmoid(x: jnp.ndarray) -> jnp.ndarray:
     return -jax.nn.softplus(-x)
 
 
+# ---------------------------------------------------------------------------
+# Packed-pair table layout (the dim-64 anomaly fix, round 5).
+#
+# Measured (experiments/sgns_memory_probe.py, v5e AOT memory_analysis): any
+# gather from a [V, 64] f32 parameter first materializes a full physical
+# relayout COPY of the table — 64 floats is a half-lane-tile row, and XLA's
+# dynamic-gather wants 128-lane tiles.  At V=8.4M that is 4 GiB of pure-
+# forward temporaries (8.37 GiB for the full train step), while dim 32 and
+# dim 128 run in place.  The preagg manual apply (sort + segment-sum + one
+# scatter per table) does NOT help: temps are identical, because the copy
+# is on the GATHER side, not the scatter chain.
+#
+# Fix: store TWO logical dim-64 rows per physical 128-lane row.  The packed
+# [ceil(V/2), 128] parameter gathers in place (temp 0.00 GiB measured);
+# gather fetches row id//2 and selects the half by parity, scatter-add
+# widens updates to half-masked 128-lane rows.  Bit-identical math: the
+# other half receives +0.0.  The packing must live across step boundaries
+# (a reshape inside the step is itself the relayout copy — measured).
+# ---------------------------------------------------------------------------
+
+
+def use_packed_rows(n_vertices: int, dim: int) -> bool:
+    """Whether the SGNS trainers store tables packed two-rows-per-tile.
+
+    Only dim 64 hits the half-tile relayout pathology (dim 32 and dim 128
+    gather in place — experiments/sgns_memory_probe.py), so only dim 64
+    packs.  Applied at every V for one tested code path; the pathology's
+    temp cost scales with V and is what OOMs north-star graphs.
+    """
+    return dim == 64
+
+
+def pack_rows(t: jnp.ndarray) -> jnp.ndarray:
+    """[V, D] table -> [ceil(V/2), 2D] packed-pair layout (zero row pad)."""
+    n, d = t.shape
+    if n % 2:
+        t = jnp.concatenate([t, jnp.zeros((1, d), t.dtype)], axis=0)
+    return t.reshape(-1, 2 * d)
+
+
+def unpack_rows(t, n_vertices: int):
+    """Inverse of pack_rows; works on numpy or jax arrays."""
+    n2, d2 = t.shape
+    return t.reshape(n2 * 2, d2 // 2)[:n_vertices]
+
+
+def _packed_gather(t: jnp.ndarray, idx: jnp.ndarray, dim: int) -> jnp.ndarray:
+    rows = t[idx // 2]  # [..., 2D]
+    return jnp.where(
+        (idx % 2 == 0)[..., None], rows[..., :dim], rows[..., dim:]
+    )
+
+
+def _packed_scatter_add(t, idx, upd, mode=None):
+    dim = upd.shape[-1]
+    zero = jnp.zeros_like(upd)
+    even = jnp.concatenate([upd, zero], axis=-1)
+    odd = jnp.concatenate([zero, upd], axis=-1)
+    full = jnp.where((idx % 2 == 0)[..., None], even, odd)
+    if mode is not None:
+        return t.at[idx // 2].add(full, mode=mode)
+    return t.at[idx // 2].add(full)
+
+
 def window_shift(
     x: jnp.ndarray, d: int, window: int, length: int, fill=0
 ) -> jnp.ndarray:
@@ -212,8 +276,13 @@ def sgns_walk_step_impl(
     shrink_window: bool,
     preagg: bool = False,
     optimizer: str = "adagrad",
+    packed: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Walk-structured SGNS step — the fast single-device path.
+
+    ``packed=True``: the embedding tables arrive (and leave) in the
+    packed-pair [ceil(V/2), 2D] layout (see pack_rows) — the dim-64
+    half-tile gather-relayout fix.  Accumulators stay [V].
 
     Same objective as sgns_train_step_impl, restructured for TPU gather cost
     (which is per ROW fetched): since every pair's center and context are walk
@@ -254,15 +323,28 @@ def sgns_walk_step_impl(
         # batches (hub rows sum hundreds of correlated gradients at the
         # stale point — measured NaN, experiments/sgd_mode_sweep.py)
         preagg = True
-    n_vertices = emb_in.shape[0]
+    n_vertices = acc_in.shape[0]  # true vocab size (tables may be packed)
     n_walks, length = walks.shape
-    dim = emb_in.shape[1]
+    dim = emb_in.shape[1] // 2 if packed else emb_in.shape[1]
+    if packed:
+        def t_gather(t, idx):
+            return _packed_gather(t, idx, dim)
+
+        t_add = _packed_scatter_add
+    else:
+        def t_gather(t, idx):
+            return t[idx]
+
+        def t_add(t, idx, upd, mode=None):
+            if mode is not None:
+                return t.at[idx].add(upd, mode=mode)
+            return t.at[idx].add(upd)
     k_neg1, k_neg2, k_shrink = jax.random.split(key, 3)
 
     walks_safe = jnp.where(walks >= 0, walks, 0)
     valid_pos = (walks >= 0) & vocab_mask[walks_safe]  # [B, L1]
-    x_in = emb_in[walks_safe]  # [B, L1, D]
-    x_out = emb_out[walks_safe]  # [B, L1, D]
+    x_in = t_gather(emb_in, walks_safe)  # [B, L1, D]
+    x_out = t_gather(emb_out, walks_safe)  # [B, L1, D]
 
     offsets = [d for d in range(-window, window + 1) if d != 0]
     if shrink_window:
@@ -299,7 +381,7 @@ def sgns_walk_step_impl(
     r2 = jax.random.uniform(k_neg2, (s,))
     slot = jnp.minimum((r1 * n_vertices).astype(jnp.int32), n_vertices - 1)
     neg_ids = jnp.where(r2 < ns_prob[slot], slot, ns_alias[slot])
-    no = emb_out[neg_ids]  # [S, D]
+    no = t_gather(emb_out, neg_ids)  # [S, D]
 
     x_in_flat = x_in.reshape(-1, dim)
     m_flat = mult.reshape(-1)
@@ -351,13 +433,13 @@ def sgns_walk_step_impl(
             )
             inv = 1.0 / jnp.maximum(cnt, 1.0)
             cnt_neg = jnp.maximum(jnp.sum(m_flat) * neg_scale, 1.0)
-            emb_in = emb_in.at[head_v].add(
-                -lr * ga_in * inv[:, None], mode="drop"
+            emb_in = t_add(
+                emb_in, head_v, -lr * ga_in * inv[:, None], mode="drop"
             )
-            emb_out = emb_out.at[head_v].add(
-                -lr * ga_out * inv[:, None], mode="drop"
+            emb_out = t_add(
+                emb_out, head_v, -lr * ga_out * inv[:, None], mode="drop"
             )
-            emb_out = emb_out.at[neg_ids].add(-lr * d_no / cnt_neg)
+            emb_out = t_add(emb_out, neg_ids, -lr * d_no / cnt_neg)
             return emb_in, emb_out, acc_in, acc_out, loss
         acc_in = acc_in.at[head_v].add(
             jnp.mean(ga_in * ga_in, axis=-1), mode="drop"
@@ -370,13 +452,13 @@ def sgns_walk_step_impl(
         scale_in_a = jax.lax.rsqrt(acc_in[head_safe] + eps)
         scale_out_a = jax.lax.rsqrt(acc_out[head_safe] + eps)
         scale_no = jax.lax.rsqrt(acc_out[neg_ids] + eps)
-        emb_in = emb_in.at[head_v].add(
-            -lr * ga_in * scale_in_a[:, None], mode="drop"
+        emb_in = t_add(
+            emb_in, head_v, -lr * ga_in * scale_in_a[:, None], mode="drop"
         )
-        emb_out = emb_out.at[head_v].add(
-            -lr * ga_out * scale_out_a[:, None], mode="drop"
+        emb_out = t_add(
+            emb_out, head_v, -lr * ga_out * scale_out_a[:, None], mode="drop"
         )
-        emb_out = emb_out.at[neg_ids].add(-lr * d_no * scale_no[:, None])
+        emb_out = t_add(emb_out, neg_ids, -lr * d_no * scale_no[:, None])
         return emb_in, emb_out, acc_in, acc_out, loss
     sq_in = jnp.mean(g_in_flat * g_in_flat, axis=-1) * row_valid
     sq_out = jnp.mean(g_out_flat * g_out_flat, axis=-1) * row_valid
@@ -388,9 +470,9 @@ def sgns_walk_step_impl(
     scale_out = jax.lax.rsqrt(acc_out[rows] + eps) * row_valid
     scale_no = jax.lax.rsqrt(acc_out[neg_ids] + eps)
 
-    emb_in = emb_in.at[rows].add(-lr * g_in_flat * scale_in[:, None])
-    emb_out = emb_out.at[rows].add(-lr * g_out_flat * scale_out[:, None])
-    emb_out = emb_out.at[neg_ids].add(-lr * d_no * scale_no[:, None])
+    emb_in = t_add(emb_in, rows, -lr * g_in_flat * scale_in[:, None])
+    emb_out = t_add(emb_out, rows, -lr * g_out_flat * scale_out[:, None])
+    emb_out = t_add(emb_out, neg_ids, -lr * d_no * scale_no[:, None])
     return emb_in, emb_out, acc_in, acc_out, loss
 
 
@@ -398,7 +480,7 @@ sgns_walk_step = functools.partial(
     jax.jit,
     static_argnames=(
         "window", "negatives", "shared_negatives", "shrink_window", "preagg",
-        "optimizer",
+        "optimizer", "packed",
     ),
     donate_argnames=("emb_in", "emb_out", "acc_in", "acc_out"),
 )(sgns_walk_step_impl)
@@ -589,7 +671,7 @@ def _sgns_corpus_step_impl(
     emb_in, emb_out, acc_in, acc_out, corpus, offset, key, lr,
     ns_alias, ns_prob, vocab_mask, *,
     batch: int, window: int, negatives: int, shared_negatives: int,
-    shrink_window: bool, optimizer: str = "adagrad",
+    shrink_window: bool, optimizer: str = "adagrad", packed: bool = False,
 ):
     """sgns_walk_step over a device-resident (pre-shuffled) corpus slice.
 
@@ -602,7 +684,7 @@ def _sgns_corpus_step_impl(
         ns_alias, ns_prob, vocab_mask,
         window=window, negatives=negatives,
         shared_negatives=shared_negatives, shrink_window=shrink_window,
-        optimizer=optimizer,
+        optimizer=optimizer, packed=packed,
     )
 
 
@@ -610,7 +692,7 @@ sgns_corpus_step = functools.partial(
     jax.jit,
     static_argnames=(
         "batch", "window", "negatives", "shared_negatives", "shrink_window",
-        "optimizer",
+        "optimizer", "packed",
     ),
     donate_argnames=("emb_in", "emb_out", "acc_in", "acc_out"),
 )(_sgns_corpus_step_impl)
@@ -621,7 +703,7 @@ def _sgns_epoch_impl(
     ns_alias, ns_prob, vocab_mask, *,
     batch: int, n_batches: int, window: int, negatives: int,
     shared_negatives: int, shrink_window: bool, min_lr: float,
-    optimizer: str = "adagrad", preagg: bool = False,
+    optimizer: str = "adagrad", preagg: bool = False, packed: bool = False,
 ):
     """A whole epoch of SGNS steps inside ONE jit program (lax.scan).
 
@@ -641,7 +723,7 @@ def _sgns_epoch_impl(
             ns_alias, ns_prob, vocab_mask,
             window=window, negatives=negatives,
             shared_negatives=shared_negatives, shrink_window=shrink_window,
-            optimizer=optimizer, preagg=preagg,
+            optimizer=optimizer, preagg=preagg, packed=packed,
         )
         return (emb_in, emb_out, acc_in, acc_out), loss
 
@@ -657,7 +739,7 @@ sgns_epoch = functools.partial(
     jax.jit,
     static_argnames=(
         "batch", "n_batches", "window", "negatives", "shared_negatives",
-        "shrink_window", "min_lr", "optimizer", "preagg",
+        "shrink_window", "min_lr", "optimizer", "preagg", "packed",
     ),
     donate_argnames=("emb_in", "emb_out", "acc_in", "acc_out"),
 )(_sgns_epoch_impl)

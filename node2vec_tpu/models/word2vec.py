@@ -18,7 +18,13 @@ import jax
 import jax.numpy as jnp
 
 from node2vec_tpu.constants import Word2VecParams
-from node2vec_tpu.models.skipgram import init_embeddings, sgns_epoch
+from node2vec_tpu.models.skipgram import (
+    init_embeddings,
+    pack_rows,
+    sgns_epoch,
+    unpack_rows,
+    use_packed_rows,
+)
 from node2vec_tpu.models.vocab import (
     Vocabulary,
     build_vocab,
@@ -99,6 +105,14 @@ def _effective_batch(
 class Word2VecTPU:
     """Skip-gram negative-sampling trainer over walk corpora."""
 
+    @staticmethod
+    def _ckpt_table(t, n_vertices: int, packed: bool) -> np.ndarray:
+        """Host copy of an embedding table for checkpointing; the packed-pair
+        dim-64 layout (skipgram.pack_rows) is an internal device format, so
+        checkpoints always store the logical [V, D] layout."""
+        a = np.asarray(t)
+        return np.asarray(unpack_rows(a, n_vertices)) if packed else a
+
     def __init__(
         self,
         params: Optional[Word2VecParams] = None,
@@ -112,18 +126,21 @@ class Word2VecTPU:
         self._losses: list = []
 
     def _warn_dim64_anomaly(self, n_vertices: int) -> None:
-        """Warn about the measured XLA dim-64 scatter-copy pathology: at
-        D=64 and V >~ 4M the SGNS update chain materializes 2-4 physical
-        copies per table (8 GiB of temporaries at V=8.4M where dim 32/128
-        run in place — experiments/sgns_memory_probe.py, docs/scaling.md
-        "dim-64 anomaly")."""
+        """Warn about the measured XLA dim-64 gather-relayout pathology:
+        gathering from a [V, 64] f32 table materializes a full physical
+        copy (half-lane-tile rows; 8 GiB of temporaries at V=8.4M where
+        dim 32/128 run in place — experiments/sgns_memory_probe.py,
+        docs/scaling.md).  The SGNS trainers sidestep it by storing tables
+        in the packed-pair layout (skipgram.pack_rows) and never call this;
+        the HS/CBOW heads still gather [*, 64] tables directly."""
         if self.params.vector_size == 64 and n_vertices > 4_000_000:
             logger.warning(
-                "dim-64 tables at V=%d hit an XLA scatter lowering that "
-                "allocates 2-4x the table in temporaries and may OOM where "
-                "the table math says it fits; prefer dim 128 (runs in "
-                "place) or row-sharding (docs/scaling.md, "
-                "experiments/sgns_memory_probe.py)", n_vertices,
+                "dim-64 tables at V=%d gather through a full-table XLA "
+                "relayout copy (2-4x the table in temporaries) on this "
+                "objective and may OOM where the table math says it fits; "
+                "prefer dim 128 (runs in place) or row-sharding "
+                "(docs/scaling.md, experiments/sgns_memory_probe.py)",
+                n_vertices,
             )
 
     def _keep_table(self):
@@ -182,7 +199,6 @@ class Word2VecTPU:
                 checkpoint_every=checkpoint_every,
             )
 
-        self._warn_dim64_anomaly(n_v)
         emb_in, emb_out, acc_in, acc_out = init_embeddings(
             n_v, p.vector_size, seed=p.seed
         )
@@ -195,6 +211,11 @@ class Word2VecTPU:
             acc_in = jnp.asarray(a_in)
             acc_out = jnp.asarray(a_out)
             logger.info("resuming training from epoch %d", start_epoch)
+        # dim-64 half-tile fix (skipgram.pack_rows): tables live packed
+        # between steps; checkpoints and self.emb_* stay logical [V, D]
+        packed = use_packed_rows(n_v, p.vector_size)
+        if packed:
+            emb_in, emb_out = pack_rows(emb_in), pack_rows(emb_out)
         ns_alias = jnp.asarray(self.vocab.ns_alias)
         ns_prob = jnp.asarray(self.vocab.ns_prob)
         vocab_mask = jnp.asarray(self.vocab.mask)
@@ -256,6 +277,7 @@ class Word2VecTPU:
                 shrink_window=p.shrink_window,
                 min_lr=p.min_step_size,
                 optimizer=p.optimizer,
+                packed=packed,
             )
             epoch_loss = float(losses.mean())  # mean over batches, not the last batch
             if ctx is not None:
@@ -269,14 +291,14 @@ class Word2VecTPU:
                 save_train_state(
                     checkpoint_dir,
                     epoch + 1,
-                    np.asarray(emb_in),
-                    np.asarray(emb_out),
+                    self._ckpt_table(emb_in, n_v, packed),
+                    self._ckpt_table(emb_out, n_v, packed),
                     np.asarray(acc_in),
                     np.asarray(acc_out),
                 )
 
-        self.emb_in = emb_in
-        self.emb_out = emb_out
+        self.emb_in = unpack_rows(emb_in, n_v) if packed else emb_in
+        self.emb_out = unpack_rows(emb_out, n_v) if packed else emb_out
         return self
 
     def fit_host(
@@ -365,7 +387,8 @@ class Word2VecTPU:
         else:
             ns_alias = jnp.asarray(self.vocab.ns_alias)
             ns_prob = jnp.asarray(self.vocab.ns_prob)
-        self._warn_dim64_anomaly(n_v)
+        if use_hs or use_cbow:  # SGNS packs dim-64 tables (skipgram)
+            self._warn_dim64_anomaly(n_v)
         emb_in, emb_out, acc_in, acc_out = init_embeddings(
             n_v, p.vector_size, seed=p.seed
         )
@@ -379,6 +402,11 @@ class Word2VecTPU:
             emb_in, emb_out = jnp.asarray(e_in), jnp.asarray(e_out)
             acc_in, acc_out = jnp.asarray(a_in), jnp.asarray(a_out)
             logger.info("resuming host-corpus training from epoch %d", start_epoch)
+        packed = (not use_hs and not use_cbow) and use_packed_rows(
+            n_v, p.vector_size
+        )
+        if packed:  # dim-64 half-tile fix (skipgram.pack_rows)
+            emb_in, emb_out = pack_rows(emb_in), pack_rows(emb_out)
 
         def train_slab(state, slab_dev, step0):
             e1, e2, a1, a2 = state
@@ -419,7 +447,7 @@ class Word2VecTPU:
                 window=p.window_size, negatives=p.negative,
                 shared_negatives=self.shared_negatives,
                 shrink_window=p.shrink_window, min_lr=p.min_step_size,
-                optimizer=p.optimizer,
+                optimizer=p.optimizer, packed=packed,
             )
 
         # each slab is assembled into a FRESH host array and handed to
@@ -493,11 +521,12 @@ class Word2VecTPU:
             if checkpoint_dir and (epoch + 1) % checkpoint_every == 0:
                 save_train_state(
                     checkpoint_dir, epoch + 1,
-                    np.asarray(emb_in), np.asarray(emb_out),
+                    self._ckpt_table(emb_in, n_v, packed),
+                    self._ckpt_table(emb_out, n_v, packed),
                     np.asarray(acc_in), np.asarray(acc_out),
                 )
-        self.emb_in = emb_in
-        self.emb_out = emb_out
+        self.emb_in = unpack_rows(emb_in, n_v) if packed else emb_in
+        self.emb_out = unpack_rows(emb_out, n_v) if packed else emb_out
         return self
 
     def fit_streaming(
@@ -568,9 +597,10 @@ class Word2VecTPU:
         vocab_mask = jnp.asarray(self.vocab.mask)
         keep = self._keep_table()
 
-        self._warn_dim64_anomaly(n_vertices)
         use_hs = p.negative == 0  # reference default objective (HS)
         use_cbow = p.sg == 0  # gensim's default architecture (models/cbow.py)
+        if use_hs or use_cbow:  # SGNS packs dim-64 tables (skipgram)
+            self._warn_dim64_anomaly(n_vertices)
         if use_cbow:
             from node2vec_tpu.models.cbow import cbow_epoch, cbow_hs_epoch
         emb_in, emb_out, acc_in, acc_out = init_embeddings(
@@ -601,6 +631,11 @@ class Word2VecTPU:
             emb_out = jnp.asarray(e_out_r)
             acc_in = jnp.asarray(a_in_r)
             acc_out = jnp.asarray(a_out_r)
+        packed = (not use_hs and not use_cbow) and use_packed_rows(
+            n_vertices, p.vector_size
+        )
+        if packed:  # dim-64 half-tile fix (skipgram.pack_rows)
+            emb_in, emb_out = pack_rows(emb_in), pack_rows(emb_out)
         root_key = jax.random.PRNGKey(p.seed)
         rng = np.random.default_rng(p.seed)
         # all epochs' chunk orders up front: a resume must replay the exact
@@ -629,7 +664,8 @@ class Word2VecTPU:
             )
             save_stream_state(
                 checkpoint_dir, fp, epoch_next, chunk_next,
-                np.asarray(state[0]), np.asarray(state[1]),
+                self._ckpt_table(state[0], n_vertices, packed),
+                self._ckpt_table(state[1], n_vertices, packed),
                 np.asarray(state[2]), np.asarray(state[3]),
                 np.asarray(self._losses, np.float32), cur,
                 counts=counts_host, chunk_walks=chunk_walks or 0,
@@ -736,7 +772,7 @@ class Word2VecTPU:
                         negatives=p.negative,
                         shared_negatives=self.shared_negatives,
                         shrink_window=p.shrink_window, min_lr=p.min_step_size,
-                        optimizer=p.optimizer,
+                        optimizer=p.optimizer, packed=packed,
                     )
                 if ctx is not None:
                     ctx.__exit__(None, None, None)
@@ -770,8 +806,8 @@ class Word2VecTPU:
                 _snapshot(
                     epoch + 1, 0, (emb_in, emb_out, acc_in, acc_out), []
                 )
-        self.emb_in = emb_in
-        self.emb_out = emb_out
+        self.emb_in = unpack_rows(emb_in, n_vertices) if packed else emb_in
+        self.emb_out = unpack_rows(emb_out, n_vertices) if packed else emb_out
         return self
 
     def _fit_hs(
