@@ -30,7 +30,31 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from node2vec_tpu.models.skipgram import _log_sigmoid, window_shift
+from node2vec_tpu.models.skipgram import (
+    _log_sigmoid,
+    _packed_gather,
+    _packed_scatter_add,
+    window_shift,
+)
+
+
+def _table_ops(packed: bool, dim: int):
+    """(gather, scatter-add) pair for logical [N, D] tables that may be
+    stored packed-pair [ceil(N/2), 2D] (skipgram.pack_rows — the dim-64
+    half-tile gather-relayout fix)."""
+    if packed:
+        def t_gather(t, idx):
+            return _packed_gather(t, idx, dim)
+
+        return t_gather, _packed_scatter_add
+
+    def t_gather(t, idx):
+        return t[idx]
+
+    def t_add(t, idx, upd, mode=None):
+        return t.at[idx].add(upd)
+
+    return t_gather, t_add
 
 
 def _context_mean(
@@ -102,6 +126,7 @@ def cbow_walk_step_impl(
     shared_negatives: int,
     shrink_window: bool,
     cbow_mean: bool = True,
+    packed: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One CBOW negative-sampling step over a walk batch.
 
@@ -110,16 +135,20 @@ def cbow_walk_step_impl(
     key split order matches, so the two objectives draw identical negative
     ids under the same key — exploited by the equivalence test on 2-token
     walks, where CBOW degenerates to SGNS with swapped roles).
+
+    ``packed=True``: both tables arrive/leave packed-pair [ceil(V/2), 2D]
+    (skipgram.pack_rows); accumulators stay [V].
     """
-    n_vertices = emb_in.shape[0]
+    n_vertices = acc_in.shape[0]  # true vocab size (tables may be packed)
     n_walks, length = walks.shape
-    dim = emb_in.shape[1]
+    dim = emb_in.shape[1] // 2 if packed else emb_in.shape[1]
+    t_gather, t_add = _table_ops(packed, dim)
     k_neg1, k_neg2, k_shrink = jax.random.split(key, 3)
 
     walks_safe = jnp.where(walks >= 0, walks, 0)
     valid_pos = (walks >= 0) & vocab_mask[walks_safe]
-    x_in = emb_in[walks_safe]
-    x_out = emb_out[walks_safe]  # center output rows
+    x_in = t_gather(emb_in, walks_safe)
+    x_out = t_gather(emb_out, walks_safe)  # center output rows
 
     if shrink_window:
         b_sh = jax.random.randint(k_shrink, (n_walks, length), 1, window + 1)
@@ -140,7 +169,7 @@ def cbow_walk_step_impl(
     r2 = jax.random.uniform(k_neg2, (s,))
     slot = jnp.minimum((r1 * n_vertices).astype(jnp.int32), n_vertices - 1)
     neg_ids = jnp.where(r2 < ns_prob[slot], slot, ns_alias[slot])
-    no = emb_out[neg_ids]  # [S, D]
+    no = t_gather(emb_out, neg_ids)  # [S, D]
 
     h_flat = h.reshape(-1, dim)
     w_flat = w_c.reshape(-1)
@@ -182,9 +211,9 @@ def cbow_walk_step_impl(
     scale_out = jax.lax.rsqrt(acc_out[rows] + eps) * row_valid
     scale_no = jax.lax.rsqrt(acc_out[neg_ids] + eps)
 
-    emb_in = emb_in.at[rows].add(-lr * g_in_flat * scale_in[:, None])
-    emb_out = emb_out.at[rows].add(-lr * d_out_flat * scale_out[:, None])
-    emb_out = emb_out.at[neg_ids].add(-lr * d_no * scale_no[:, None])
+    emb_in = t_add(emb_in, rows, -lr * g_in_flat * scale_in[:, None])
+    emb_out = t_add(emb_out, rows, -lr * d_out_flat * scale_out[:, None])
+    emb_out = t_add(emb_out, neg_ids, -lr * d_no * scale_no[:, None])
     return emb_in, emb_out, acc_in, acc_out, loss
 
 
@@ -192,7 +221,7 @@ cbow_walk_step = functools.partial(
     jax.jit,
     static_argnames=(
         "window", "negatives", "shared_negatives", "shrink_window",
-        "cbow_mean",
+        "cbow_mean", "packed",
     ),
     donate_argnames=("emb_in", "emb_out", "acc_in", "acc_out"),
 )(cbow_walk_step_impl)
@@ -214,6 +243,7 @@ def cbow_hs_step_impl(
     window: int,
     shrink_window: bool,
     cbow_mean: bool = True,
+    packed: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One CBOW hierarchical-softmax step (gensim ``sg=0, hs=1`` analogue).
 
@@ -221,15 +251,19 @@ def cbow_hs_step_impl(
     the path is the CENTER's own Huffman code (no per-offset path shifting,
     unlike skip-gram HS where each context contributes its path), so the
     path tensors are gathered once per position.
+
+    ``packed=True``: ``emb_in``/``theta`` arrive/leave packed-pair
+    [ceil(N/2), 2D] (skipgram.pack_rows); accumulators stay [N].
     """
     n_walks, length = walks.shape
-    dim = emb_in.shape[1]
+    dim = emb_in.shape[1] // 2 if packed else emb_in.shape[1]
+    t_gather, t_add = _table_ops(packed, dim)
     cl = hs_points.shape[1]
     k_shrink = key
 
     walks_safe = jnp.where(walks >= 0, walks, 0)
     valid_pos = (walks >= 0) & vocab_mask[walks_safe]
-    x_in = emb_in[walks_safe]
+    x_in = t_gather(emb_in, walks_safe)
 
     if shrink_window:
         b_sh = jax.random.randint(k_shrink, (n_walks, length), 1, window + 1)
@@ -251,7 +285,7 @@ def cbow_hs_step_impl(
 
     # bf16 path tensors, fp32 logits (models/hsoftmax.py recipe)
     h_bf = h.astype(jnp.bfloat16)
-    th = theta.astype(jnp.bfloat16)[pts]  # [B, L1, CL, D]
+    th = t_gather(theta.astype(jnp.bfloat16), pts)  # [B, L1, CL, D]
     logit = jnp.einsum(
         "bld,blcd->blc", h_bf, th, preferred_element_type=jnp.float32
     )
@@ -277,7 +311,7 @@ def cbow_hs_step_impl(
     sq_in = jnp.mean(g_in_flat * g_in_flat, axis=-1) * row_valid
     acc_in = acc_in.at[rows].add(sq_in)
     scale_in = jax.lax.rsqrt(acc_in[rows] + eps) * row_valid
-    emb_in = emb_in.at[rows].add(-lr * g_in_flat * scale_in[:, None])
+    emb_in = t_add(emb_in, rows, -lr * g_in_flat * scale_in[:, None])
 
     prow = pts.reshape(-1)
     g_th_flat = g_th.reshape(-1, dim)
@@ -285,13 +319,13 @@ def cbow_hs_step_impl(
     sq_th = jnp.mean(g_th_flat * g_th_flat, axis=-1) * th_valid
     acc_theta = acc_theta.at[prow].add(sq_th)
     scale_th = jax.lax.rsqrt(acc_theta[prow] + eps) * th_valid
-    theta = theta.at[prow].add(-lr * g_th_flat * scale_th[:, None])
+    theta = t_add(theta, prow, -lr * g_th_flat * scale_th[:, None])
     return emb_in, theta, acc_in, acc_theta, loss
 
 
 cbow_hs_step = functools.partial(
     jax.jit,
-    static_argnames=("window", "shrink_window", "cbow_mean"),
+    static_argnames=("window", "shrink_window", "cbow_mean", "packed"),
     donate_argnames=("emb_in", "theta", "acc_in", "acc_theta"),
 )(cbow_hs_step_impl)
 
@@ -301,7 +335,7 @@ def _cbow_epoch_impl(
     ns_alias, ns_prob, vocab_mask, *,
     batch: int, n_batches: int, window: int, negatives: int,
     shared_negatives: int, shrink_window: bool, min_lr: float,
-    cbow_mean: bool = True,
+    cbow_mean: bool = True, packed: bool = False,
 ):
     """A whole CBOW-NS epoch inside one jit (lax.scan), like sgns_epoch."""
 
@@ -316,7 +350,7 @@ def _cbow_epoch_impl(
             ns_alias, ns_prob, vocab_mask,
             window=window, negatives=negatives,
             shared_negatives=shared_negatives, shrink_window=shrink_window,
-            cbow_mean=cbow_mean,
+            cbow_mean=cbow_mean, packed=packed,
         )
         return (emb_in, emb_out, acc_in, acc_out), loss
 
@@ -332,7 +366,7 @@ cbow_epoch = functools.partial(
     jax.jit,
     static_argnames=(
         "batch", "n_batches", "window", "negatives", "shared_negatives",
-        "shrink_window", "min_lr", "cbow_mean",
+        "shrink_window", "min_lr", "cbow_mean", "packed",
     ),
     donate_argnames=("emb_in", "emb_out", "acc_in", "acc_out"),
 )(_cbow_epoch_impl)
@@ -342,7 +376,7 @@ def _cbow_hs_epoch_impl(
     emb_in, theta, acc_in, acc_theta, corpus, key, step0, lr0, lr_slope,
     hs_points, hs_codes, hs_len, vocab_mask, *,
     batch: int, n_batches: int, window: int, shrink_window: bool,
-    min_lr: float, cbow_mean: bool = True,
+    min_lr: float, cbow_mean: bool = True, packed: bool = False,
 ):
     """A whole CBOW-HS epoch inside one jit (lax.scan), like hs_epoch."""
 
@@ -356,6 +390,7 @@ def _cbow_hs_epoch_impl(
             jax.random.fold_in(key, gstep), lr,
             hs_points, hs_codes, hs_len, vocab_mask,
             window=window, shrink_window=shrink_window, cbow_mean=cbow_mean,
+            packed=packed,
         )
         return (emb_in, theta, acc_in, acc_theta), loss
 
@@ -371,7 +406,7 @@ cbow_hs_epoch = functools.partial(
     jax.jit,
     static_argnames=(
         "batch", "n_batches", "window", "shrink_window", "min_lr",
-        "cbow_mean",
+        "cbow_mean", "packed",
     ),
     donate_argnames=("emb_in", "theta", "acc_in", "acc_theta"),
 )(_cbow_hs_epoch_impl)

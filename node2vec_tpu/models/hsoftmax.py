@@ -41,7 +41,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from node2vec_tpu.models.skipgram import _log_sigmoid, window_shift
+from node2vec_tpu.models.skipgram import (
+    _log_sigmoid,
+    _packed_gather,
+    _packed_scatter_add,
+    window_shift,
+)
 
 
 class HuffmanTree(NamedTuple):
@@ -217,9 +222,19 @@ def hs_walk_step_impl(
     window: int,
     shrink_window: bool,
     head_offsets: Tuple[int, ...] = (0,),
+    packed: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One HS step over a walk batch (positional structure like
     sgns_walk_step_impl: per-position path gathers, shifted-window products).
+
+    ``packed=True``: ``emb_in`` and ``theta`` arrive (and leave) in the
+    packed-pair [ceil(N/2), 2D] layout (skipgram.pack_rows) — the dim-64
+    half-tile gather-relayout fix.  Accumulators stay [N].  The dense head
+    un-interleaves its ``theta[:k_rows]`` slice with one tiny reshape (the
+    relayout pathology is a property of the BIG dynamic gathers, not of a
+    static few-hundred-row slice) and widens its pre-aggregated update back
+    to physical rows; odd ``k_rows`` pads the update with a zero half-row,
+    which commutes with the tail scatter into that physical row.
 
     For each valid (center i, context i+d) pair:
       loss -= Σ_j mask_j · log σ(sgn_j · v_in[center] · θ[point_j(context)])
@@ -238,7 +253,18 @@ def hs_walk_step_impl(
     only inflates the accumulator faster.
     """
     n_walks, length = walks.shape
-    dim = emb_in.shape[1]
+    dim = emb_in.shape[1] // 2 if packed else emb_in.shape[1]
+    if packed:
+        def t_gather(t, idx):
+            return _packed_gather(t, idx, dim)
+
+        t_add = _packed_scatter_add
+    else:
+        def t_gather(t, idx):
+            return t[idx]
+
+        def t_add(t, idx, upd, mode=None):
+            return t.at[idx].add(upd)
     cl = hs_points.shape[1]
     n_head = min(len(head_offsets) - 1, cl)  # head levels handled densely
     k_rows = int(head_offsets[n_head])  # dense head table rows
@@ -247,7 +273,7 @@ def hs_walk_step_impl(
 
     walks_safe = jnp.where(walks >= 0, walks, 0)
     valid_pos = (walks >= 0) & vocab_mask[walks_safe]
-    x_in = emb_in[walks_safe]  # [B, L1, D]
+    x_in = t_gather(emb_in, walks_safe)  # [B, L1, D]
     x_bf = x_in.astype(jnp.bfloat16)
     pts = hs_points[walks_safe]  # [B, L1, CL] — path of each position's vertex
     cds = hs_codes[walks_safe].astype(jnp.float32)
@@ -263,9 +289,15 @@ def hs_walk_step_impl(
     # preferred_element_type, so only gradient *storage* is rounded)
     theta_bf = theta.astype(jnp.bfloat16)
     pts_t = pts[:, :, n_head:]
-    th = theta_bf[pts_t] if clt else None  # the big tail gather
+    th = t_gather(theta_bf, pts_t) if clt else None  # the big tail gather
     if n_head:
-        t_head = jax.lax.slice_in_dim(theta_bf, 0, k_rows, axis=0)  # [K, D]
+        if packed:  # un-interleave the static head slice: [kp, 2D] -> [K, D]
+            kp = (k_rows + 1) // 2
+            t_head = jax.lax.slice_in_dim(theta_bf, 0, kp, axis=0).reshape(
+                2 * kp, dim
+            )[:k_rows]
+        else:
+            t_head = jax.lax.slice_in_dim(theta_bf, 0, k_rows, axis=0)  # [K, D]
         # every head node scored against every center position, once
         l_head = jnp.einsum(
             "bld,kd->blk", x_bf, t_head, preferred_element_type=jnp.float32
@@ -367,13 +399,23 @@ def hs_walk_step_impl(
         scale_h = jax.lax.rsqrt(
             jax.lax.slice_in_dim(acc_theta, 0, k_rows, axis=0) + eps
         )
-        theta = theta.at[:k_rows].add(-lr * d_head * scale_h[:, None])
+        upd_h = -lr * d_head * scale_h[:, None]  # [K, D]
+        if packed:  # widen back to physical rows; odd K pads a zero half-row
+            if k_rows % 2:
+                upd_h = jnp.concatenate(
+                    [upd_h, jnp.zeros((1, dim), upd_h.dtype)], axis=0
+                )
+            theta = theta.at[: (k_rows + 1) // 2].add(
+                upd_h.reshape(-1, 2 * dim)
+            )
+        else:
+            theta = theta.at[:k_rows].add(upd_h)
 
     g_in_flat = g_in.reshape(-1, dim)
     sq_in = jnp.mean(g_in_flat * g_in_flat, axis=-1) * row_valid
     acc_in = acc_in.at[rows].add(sq_in)
     scale_in = jax.lax.rsqrt(acc_in[rows] + eps) * row_valid
-    emb_in = emb_in.at[rows].add(-lr * g_in_flat * scale_in[:, None])
+    emb_in = t_add(emb_in, rows, -lr * g_in_flat * scale_in[:, None])
 
     if clt:
         prow = pts_t.reshape(-1)
@@ -384,7 +426,7 @@ def hs_walk_step_impl(
         sq_th = jnp.mean(g_th_flat * g_th_flat, axis=-1) * th_valid
         acc_theta = acc_theta.at[prow].add(sq_th)
         scale_th = jax.lax.rsqrt(acc_theta[prow] + eps) * th_valid
-        theta = theta.at[prow].add(-lr * g_th_flat * scale_th[:, None])
+        theta = t_add(theta, prow, -lr * g_th_flat * scale_th[:, None])
     return emb_in, theta, acc_in, acc_theta, loss
 
 
@@ -407,6 +449,7 @@ def _hs_epoch_impl(
     hs_points, hs_codes, hs_len, vocab_mask, *,
     batch: int, n_batches: int, window: int, shrink_window: bool,
     min_lr: float, head_offsets: Tuple[int, ...] = (0,),
+    packed: bool = False,
 ):
     """A whole HS epoch inside one jit (lax.scan), like sgns_epoch."""
 
@@ -420,7 +463,7 @@ def _hs_epoch_impl(
             jax.random.fold_in(key, gstep), lr,
             hs_points, hs_codes, hs_len, vocab_mask,
             window=window, shrink_window=shrink_window,
-            head_offsets=head_offsets,
+            head_offsets=head_offsets, packed=packed,
         )
         return (emb_in, theta, acc_in, acc_theta), loss
 
@@ -436,7 +479,7 @@ _hs_epoch_jit = functools.partial(
     jax.jit,
     static_argnames=(
         "batch", "n_batches", "window", "shrink_window", "min_lr",
-        "head_offsets",
+        "head_offsets", "packed",
     ),
     donate_argnames=("emb_in", "theta", "acc_in", "acc_theta"),
 )(_hs_epoch_impl)

@@ -125,24 +125,6 @@ class Word2VecTPU:
         self._emb_out = None
         self._losses: list = []
 
-    def _warn_dim64_anomaly(self, n_vertices: int) -> None:
-        """Warn about the measured XLA dim-64 gather-relayout pathology:
-        gathering from a [V, 64] f32 table materializes a full physical
-        copy (half-lane-tile rows; 8 GiB of temporaries at V=8.4M where
-        dim 32/128 run in place — experiments/sgns_memory_probe.py,
-        docs/scaling.md).  The SGNS trainers sidestep it by storing tables
-        in the packed-pair layout (skipgram.pack_rows) and never call this;
-        the HS/CBOW heads still gather [*, 64] tables directly."""
-        if self.params.vector_size == 64 and n_vertices > 4_000_000:
-            logger.warning(
-                "dim-64 tables at V=%d gather through a full-table XLA "
-                "relayout copy (2-4x the table in temporaries) on this "
-                "objective and may OOM where the table math says it fits; "
-                "prefer dim 128 (runs in place) or row-sharding "
-                "(docs/scaling.md, experiments/sgns_memory_probe.py)",
-                n_vertices,
-            )
-
     def _keep_table(self):
         """[V] keep-probability table for ``params.sample`` subsampling, or
         None when disabled (must be called after the vocab is built)."""
@@ -387,14 +369,13 @@ class Word2VecTPU:
         else:
             ns_alias = jnp.asarray(self.vocab.ns_alias)
             ns_prob = jnp.asarray(self.vocab.ns_prob)
-        if use_hs or use_cbow:  # SGNS packs dim-64 tables (skipgram)
-            self._warn_dim64_anomaly(n_v)
         emb_in, emb_out, acc_in, acc_out = init_embeddings(
             n_v, p.vector_size, seed=p.seed
         )
         if use_hs:
             emb_out = jnp.zeros((tree.n_inner, p.vector_size), jnp.float32)
             acc_out = jnp.zeros((tree.n_inner,), jnp.float32)
+        n_out = tree.n_inner if use_hs else n_v  # output table logical rows
         start_epoch = 0
         ckpt = load_train_state(checkpoint_dir)
         if ckpt is not None:
@@ -402,9 +383,7 @@ class Word2VecTPU:
             emb_in, emb_out = jnp.asarray(e_in), jnp.asarray(e_out)
             acc_in, acc_out = jnp.asarray(a_in), jnp.asarray(a_out)
             logger.info("resuming host-corpus training from epoch %d", start_epoch)
-        packed = (not use_hs and not use_cbow) and use_packed_rows(
-            n_v, p.vector_size
-        )
+        packed = use_packed_rows(n_v, p.vector_size)
         if packed:  # dim-64 half-tile fix (skipgram.pack_rows)
             emb_in, emb_out = pack_rows(emb_in), pack_rows(emb_out)
 
@@ -418,6 +397,7 @@ class Word2VecTPU:
                     batch=batch, n_batches=slab_batches,
                     window=p.window_size, shrink_window=p.shrink_window,
                     min_lr=p.min_step_size, cbow_mean=p.cbow_mean,
+                    packed=packed,
                 )
             if use_hs:
                 return hs_epoch(
@@ -427,6 +407,7 @@ class Word2VecTPU:
                     batch=batch, n_batches=slab_batches,
                     window=p.window_size, shrink_window=p.shrink_window,
                     min_lr=p.min_step_size, head_offsets=hs_head,
+                    packed=packed,
                 )
             if use_cbow:
                 return cbow_epoch(
@@ -437,7 +418,7 @@ class Word2VecTPU:
                     window=p.window_size, negatives=p.negative,
                     shared_negatives=self.shared_negatives,
                     shrink_window=p.shrink_window, min_lr=p.min_step_size,
-                    cbow_mean=p.cbow_mean,
+                    cbow_mean=p.cbow_mean, packed=packed,
                 )
             return sgns_epoch(
                 e1, e2, a1, a2, slab_dev, root_key, jnp.int32(step0),
@@ -522,11 +503,11 @@ class Word2VecTPU:
                 save_train_state(
                     checkpoint_dir, epoch + 1,
                     self._ckpt_table(emb_in, n_v, packed),
-                    self._ckpt_table(emb_out, n_v, packed),
+                    self._ckpt_table(emb_out, n_out, packed),
                     np.asarray(acc_in), np.asarray(acc_out),
                 )
         self.emb_in = unpack_rows(emb_in, n_v) if packed else emb_in
-        self.emb_out = unpack_rows(emb_out, n_v) if packed else emb_out
+        self.emb_out = unpack_rows(emb_out, n_out) if packed else emb_out
         return self
 
     def fit_streaming(
@@ -599,8 +580,6 @@ class Word2VecTPU:
 
         use_hs = p.negative == 0  # reference default objective (HS)
         use_cbow = p.sg == 0  # gensim's default architecture (models/cbow.py)
-        if use_hs or use_cbow:  # SGNS packs dim-64 tables (skipgram)
-            self._warn_dim64_anomaly(n_vertices)
         if use_cbow:
             from node2vec_tpu.models.cbow import cbow_epoch, cbow_hs_epoch
         emb_in, emb_out, acc_in, acc_out = init_embeddings(
@@ -626,14 +605,13 @@ class Word2VecTPU:
             # streaming loop below is objective-agnostic
             emb_out = jnp.zeros((tree.n_inner, p.vector_size), jnp.float32)
             acc_out = jnp.zeros((tree.n_inner,), jnp.float32)
+        n_out = tree.n_inner if use_hs else n_vertices  # output logical rows
         if resume is not None:
             emb_in = jnp.asarray(e_in_r)
             emb_out = jnp.asarray(e_out_r)
             acc_in = jnp.asarray(a_in_r)
             acc_out = jnp.asarray(a_out_r)
-        packed = (not use_hs and not use_cbow) and use_packed_rows(
-            n_vertices, p.vector_size
-        )
+        packed = use_packed_rows(n_vertices, p.vector_size)
         if packed:  # dim-64 half-tile fix (skipgram.pack_rows)
             emb_in, emb_out = pack_rows(emb_in), pack_rows(emb_out)
         root_key = jax.random.PRNGKey(p.seed)
@@ -665,7 +643,7 @@ class Word2VecTPU:
             save_stream_state(
                 checkpoint_dir, fp, epoch_next, chunk_next,
                 self._ckpt_table(state[0], n_vertices, packed),
-                self._ckpt_table(state[1], n_vertices, packed),
+                self._ckpt_table(state[1], n_out, packed),
                 np.asarray(state[2]), np.asarray(state[3]),
                 np.asarray(self._losses, np.float32), cur,
                 counts=counts_host, chunk_walks=chunk_walks or 0,
@@ -736,7 +714,7 @@ class Word2VecTPU:
                         window=p.window_size,
                         shrink_window=p.shrink_window,
                         min_lr=p.min_step_size,
-                        cbow_mean=p.cbow_mean,
+                        cbow_mean=p.cbow_mean, packed=packed,
                     )
                 elif use_hs:
                     emb_in, emb_out, acc_in, acc_out, losses = hs_epoch(
@@ -748,7 +726,7 @@ class Word2VecTPU:
                         window=p.window_size,
                         shrink_window=p.shrink_window,
                         min_lr=p.min_step_size,
-                        head_offsets=hs_head,
+                        head_offsets=hs_head, packed=packed,
                     )
                 elif use_cbow:
                     emb_in, emb_out, acc_in, acc_out, losses = cbow_epoch(
@@ -760,7 +738,7 @@ class Word2VecTPU:
                         negatives=p.negative,
                         shared_negatives=self.shared_negatives,
                         shrink_window=p.shrink_window, min_lr=p.min_step_size,
-                        cbow_mean=p.cbow_mean,
+                        cbow_mean=p.cbow_mean, packed=packed,
                     )
                 else:
                     emb_in, emb_out, acc_in, acc_out, losses = sgns_epoch(
@@ -807,7 +785,7 @@ class Word2VecTPU:
                     epoch + 1, 0, (emb_in, emb_out, acc_in, acc_out), []
                 )
         self.emb_in = unpack_rows(emb_in, n_vertices) if packed else emb_in
-        self.emb_out = unpack_rows(emb_out, n_vertices) if packed else emb_out
+        self.emb_out = unpack_rows(emb_out, n_out) if packed else emb_out
         return self
 
     def _fit_hs(
@@ -862,6 +840,11 @@ class Word2VecTPU:
             acc_in = jnp.asarray(a_in)
             acc_theta = jnp.asarray(a_th)
             logger.info("resuming HS training from epoch %d", start_epoch)
+        # dim-64 half-tile fix (skipgram.pack_rows): both tables live packed
+        # between steps; checkpoints and self.emb_* stay logical [N, D]
+        packed = use_packed_rows(n_v, p.vector_size)
+        if packed:
+            emb_in, theta = pack_rows(emb_in), pack_rows(theta)
 
         n_walks = len(walks)
         batch = _effective_batch(p.batch_walks, n_walks)
@@ -898,7 +881,7 @@ class Word2VecTPU:
                 vocab_mask,
                 batch=batch, n_batches=n_batches, window=p.window_size,
                 shrink_window=p.shrink_window, min_lr=p.min_step_size,
-                head_offsets=hs_head,
+                head_offsets=hs_head, packed=packed,
             )
             if ctx is not None:
                 ctx.__exit__(None, None, None)
@@ -912,13 +895,13 @@ class Word2VecTPU:
                 save_train_state(
                     checkpoint_dir,
                     epoch + 1,
-                    np.asarray(emb_in),
-                    np.asarray(theta),
+                    self._ckpt_table(emb_in, n_v, packed),
+                    self._ckpt_table(theta, tree.n_inner, packed),
                     np.asarray(acc_in),
                     np.asarray(acc_theta),
                 )
-        self.emb_in = emb_in
-        self.emb_out = theta
+        self.emb_in = unpack_rows(emb_in, n_v) if packed else emb_in
+        self.emb_out = unpack_rows(theta, tree.n_inner) if packed else theta
         return self
 
     def _fit_cbow(
@@ -977,6 +960,12 @@ class Word2VecTPU:
             acc_in = jnp.asarray(a_in)
             acc_out = jnp.asarray(a_out)
             logger.info("resuming CBOW training from epoch %d", start_epoch)
+        # dim-64 half-tile fix (skipgram.pack_rows); n_out tracks the output
+        # table's logical row count (V rows for NS, n_inner for HS/syn1)
+        n_out = tree.n_inner if use_hs else n_v
+        packed = use_packed_rows(n_v, p.vector_size)
+        if packed:
+            emb_in, emb_out = pack_rows(emb_in), pack_rows(emb_out)
 
         n_walks = len(walks)
         batch = _effective_batch(p.batch_walks, n_walks)
@@ -1015,7 +1004,7 @@ class Word2VecTPU:
                     vocab_mask,
                     batch=batch, n_batches=n_batches, window=p.window_size,
                     shrink_window=p.shrink_window, min_lr=p.min_step_size,
-                    cbow_mean=p.cbow_mean,
+                    cbow_mean=p.cbow_mean, packed=packed,
                 )
             else:
                 emb_in, emb_out, acc_in, acc_out, losses = cbow_epoch(
@@ -1026,7 +1015,7 @@ class Word2VecTPU:
                     negatives=p.negative,
                     shared_negatives=self.shared_negatives,
                     shrink_window=p.shrink_window, min_lr=p.min_step_size,
-                    cbow_mean=p.cbow_mean,
+                    cbow_mean=p.cbow_mean, packed=packed,
                 )
             if ctx is not None:
                 ctx.__exit__(None, None, None)
@@ -1040,13 +1029,13 @@ class Word2VecTPU:
                 save_train_state(
                     checkpoint_dir,
                     epoch + 1,
-                    np.asarray(emb_in),
-                    np.asarray(emb_out),
+                    self._ckpt_table(emb_in, n_v, packed),
+                    self._ckpt_table(emb_out, n_out, packed),
                     np.asarray(acc_in),
                     np.asarray(acc_out),
                 )
-        self.emb_in = emb_in
-        self.emb_out = emb_out
+        self.emb_in = unpack_rows(emb_in, n_v) if packed else emb_in
+        self.emb_out = unpack_rows(emb_out, n_out) if packed else emb_out
         return self
 
     def fit_streaming_sharded(
