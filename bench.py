@@ -438,7 +438,25 @@ def bench_northstar(scale: int, walk_length: int, dim: int) -> dict:
     streamed h2d), score held-out AUC -> one staged dim-128 SGNS epoch and
     one staged dim-128 HS epoch (the reference's default objective) on the
     1-walk device corpus for per-epoch throughput lines.
+
+    ``out`` accumulates stage by stage and SURVIVES a mid-run failure:
+    one crashing stage (e.g. a TPU remote-compile fault) records an
+    ``error`` key next to every number already measured instead of
+    discarding a ~45-minute run (learned from the round-5 staged-HS
+    worker crash, which cost the whole block).
     """
+    out: dict = {"scale": scale}
+    try:
+        _bench_northstar_stages(scale, walk_length, dim, out)
+    except Exception as e:
+        out["error"] = f"{type(e).__name__}: {e}"
+        log(f"northstar stage FAILED (partial results kept): {out['error']}")
+    return out
+
+
+def _bench_northstar_stages(
+    scale: int, walk_length: int, dim: int, out: dict
+) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -484,8 +502,7 @@ def bench_northstar(scale: int, walk_length: int, dim: int) -> dict:
         f"(pack {pack_s:.0f}s)"
     )
 
-    out = {
-        "scale": scale,
+    out.update({
         "n_vertices": g.n_vertices,
         "n_edges": g.n_edges,
         "max_degree": int(deg.max()),
@@ -493,7 +510,7 @@ def bench_northstar(scale: int, walk_length: int, dim: int) -> dict:
         "graph_build_s": round(build_s, 1),
         "blocked_pack_s": round(pack_s, 1),
         "blocked_table_gib": round(table_bytes / 2**30, 2),
-    }
+    })
     for pq, key in [((0.25, 4.0), "walk_steps_per_s"),
                     ((1.0, 1.0), "unbiased_walk_steps_per_s")]:
         sps, _, roof = bench_walks(
@@ -611,11 +628,15 @@ def bench_northstar(scale: int, walk_length: int, dim: int) -> dict:
         # Breakage gate, not an absolute-quality bar: on RMAT held-out
         # edges carry little signal beyond degree (measured scale-19
         # trajectory: 0.694 @1 epoch, 0.632 @10 epochs — MORE training
-        # lowers it as held-out edges sharpen toward non-edge scores), so
-        # ~0.63-0.70 is the structural ceiling of this graph class.  A
-        # broken embedding reads ~0.5; absolute quality is gated by the
+        # lowers it as held-out edges sharpen toward non-edge scores), and
+        # the ceiling SHRINKS with scale (measured scale-23 full-config
+        # value: 0.561 @1 epoch — sparser per-pair density leaves even
+        # less residual signal; BASELINE.md round 5).  A broken embedding
+        # reads 0.500 +- 0.002 at the 100k holdout (30 sigma below the
+        # measured scale-23 value), so the bar sits between chance and the
+        # measured ceiling; absolute quality is gated by the
         # node2vec-paper-protocol multilabel micro-F1 in bench_quality.
-        auc_bar = 0.58
+        auc_bar = 0.54
         # downsampled loss trajectory: first epoch's per-slab means
         traj = [round(float(x), 4) for x in model._slab_losses[0][:: max(
             len(model._slab_losses[0]) // 16, 1
@@ -680,9 +701,15 @@ def bench_northstar(scale: int, walk_length: int, dim: int) -> dict:
         gc.collect()
 
         if os.environ.get("N2V_BENCH_NORTHSTAR_HS", "1") != "0":
+            # hs_max_code_length=18: the scale-23 Huffman tree caps at
+            # CL 19+, and a CL-19 HS program is the documented
+            # remote-compile-service fault shape (runs on the CPU backend,
+            # crashes the TPU worker — BASELINE.md round 3); 18 sidesteps
+            # it with tail-mass-bounded quality impact.  The round-5 run
+            # without the cap reproduced the crash at this exact stage.
             w2v_hs = Word2VecParams(
                 min_count=1, vector_size=staged_dim, max_iter=1,
-                batch_walks=2048, negative=0,
+                batch_walks=2048, negative=0, hs_max_code_length=18,
             )
             model = Word2VecTPU(w2v_hs)
             t0 = time.perf_counter()
