@@ -701,12 +701,14 @@ def _bench_northstar_stages(
         gc.collect()
 
         if os.environ.get("N2V_BENCH_NORTHSTAR_HS", "1") != "0":
-            # hs_max_code_length=18: the scale-23 Huffman tree caps at
-            # CL 19+, and a CL-19 HS program is the documented
-            # remote-compile-service fault shape (runs on the CPU backend,
-            # crashes the TPU worker — BASELINE.md round 3); 18 sidesteps
-            # it with tail-mass-bounded quality impact.  The round-5 run
-            # without the cap reproduced the crash at this exact stage.
+            # The first scale-23 execution of this stage crashed the TPU
+            # worker: a runtime lowering fault triggered by the CONJUNCTION
+            # {~8.4M-row theta} x {dense head} x {CL ~18} (bisection in
+            # experiments/hs_crash_bisect.py; BASELINE.md round 5 — not
+            # memory: AOT peak 11.6/16 GiB).  The trainer now auto-disables
+            # the dense head above hsoftmax.DENSE_HEAD_MAX_ROWS, and
+            # hs_max_code_length=18 pins this stage to the exact bisected-
+            # safe shape (the natural tail-capped CL here is 26, untested).
             w2v_hs = Word2VecParams(
                 min_count=1, vector_size=staged_dim, max_iter=1,
                 batch_walks=2048, negative=0, hs_max_code_length=18,

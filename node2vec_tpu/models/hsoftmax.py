@@ -430,12 +430,31 @@ def hs_walk_step_impl(
     return emb_in, theta, acc_in, acc_theta, loss
 
 
+# Largest per-device theta table measured SAFE under the dense head at
+# full code length.  The round-5 scale-23 bench crashed the TPU worker at
+# runtime in the staged HS epoch; bisection (experiments/
+# hs_crash_bisect.py, BASELINE.md round 5) shows the fault needs the
+# CONJUNCTION {~8.4M-row donated theta} x {dense head} x {CL ~18}:
+# V=2M/4.2M with head+CL18 PASS, V=8.39M without head at CL18 PASSES,
+# V=8.39M with head at CL10 PASSES, V=8.39M with head at CL18 dies.
+# It is not memory pressure (AOT peak 11.6/16 GiB) and not the round-3
+# compile fault (this one executes, then kills the worker).  Until the
+# lowering fault is understood, trainers auto-disable the head above the
+# measured-safe table size — HS keeps its full code length at north-star
+# scale and pays the ~1.4x head speedup back.
+DENSE_HEAD_MAX_ROWS = 4_194_304
+
+
 def head_level_offsets(
-    tree: HuffmanTree, max_rows: int = 512
+    tree: HuffmanTree, max_rows: int = 512, table_rows: int | None = None
 ) -> Tuple[int, ...]:
     """Static head split for hs_walk_step_impl: the longest level prefix
     whose dense table stays within ``max_rows`` inner nodes (and within the
-    padded path width).  Returns (0,) when no dense head applies."""
+    padded path width).  Returns (0,) when no dense head applies — always
+    pass ``table_rows`` (the PER-DEVICE theta row count) so the
+    DENSE_HEAD_MAX_ROWS runtime-fault guard can apply."""
+    if table_rows is not None and table_rows > DENSE_HEAD_MAX_ROWS:
+        return (0,)
     off = tree.level_offsets
     cl = tree.points.shape[1]
     h = 0

@@ -365,7 +365,9 @@ class Word2VecTPU:
             hs_points = jnp.asarray(tree.points)
             hs_codes = jnp.asarray(tree.codes)
             hs_len = jnp.asarray(tree.lengths)
-            hs_head = head_level_offsets(tree)
+            hs_head = head_level_offsets(
+                tree, table_rows=tree.n_inner
+            )
         else:
             ns_alias = jnp.asarray(self.vocab.ns_alias)
             ns_prob = jnp.asarray(self.vocab.ns_prob)
@@ -600,7 +602,9 @@ class Word2VecTPU:
             hs_points = jnp.asarray(tree.points)
             hs_codes = jnp.asarray(tree.codes)
             hs_len = jnp.asarray(tree.lengths)
-            hs_head = head_level_offsets(tree)
+            hs_head = head_level_offsets(
+                tree, table_rows=tree.n_inner
+            )
             # emb_out/acc_out slots carry the inner-node table (syn1) so the
             # streaming loop below is objective-agnostic
             emb_out = jnp.zeros((tree.n_inner, p.vector_size), jnp.float32)
@@ -820,7 +824,7 @@ class Word2VecTPU:
         hs_points = jnp.asarray(tree.points)
         hs_codes = jnp.asarray(tree.codes)
         hs_len = jnp.asarray(tree.lengths)
-        hs_head = head_level_offsets(tree)
+        hs_head = head_level_offsets(tree, table_rows=tree.n_inner)
         vocab_mask = jnp.asarray(self.vocab.mask)
 
         key = jax.random.PRNGKey(p.seed)
@@ -1149,7 +1153,9 @@ class Word2VecTPU:
             hs_points = jax.device_put(jnp.asarray(tree.points), rep)
             hs_codes = jax.device_put(jnp.asarray(tree.codes), rep)
             hs_len = jax.device_put(jnp.asarray(tree.lengths), rep)
-            hs_head = head_level_offsets(tree)
+            hs_head = head_level_offsets(
+                tree, table_rows=-(-tree.n_inner // n_dev)
+            )
             state = init_hs_row_state(
                 mesh, n_vertices, tree.n_inner, p.vector_size, seed=p.seed
             )
@@ -1741,7 +1747,9 @@ class Word2VecTPU:
                 window=p.window_size,
                 shrink_window=p.shrink_window,
                 min_lr=p.min_step_size,
-                head_offsets=head_level_offsets(tree),
+                head_offsets=head_level_offsets(
+                    tree, table_rows=-(-tree.n_inner // n_dev)
+                ),
             )
             total_dropped += int(dropped)
             self._losses.append(float(losses.mean()))

@@ -279,3 +279,25 @@ def test_hs_zipf_cl19_tree_shape_runs():
             min_lr=1e-4, head_offsets=head,
         )
         assert np.isfinite(np.asarray(out[-1])).all()
+
+
+def test_dense_head_disabled_above_safe_table_rows():
+    """DENSE_HEAD_MAX_ROWS guard (round-5 scale-23 worker-crash bisection,
+    BASELINE.md): head_level_offsets returns no head when the per-device
+    theta table exceeds the measured-safe row count, and is unchanged
+    below it."""
+    from node2vec_tpu.models.hsoftmax import (
+        DENSE_HEAD_MAX_ROWS,
+        build_huffman,
+        head_level_offsets,
+    )
+
+    counts = np.arange(1, 2000, dtype=np.int64)
+    tree = build_huffman(counts)
+    with_head = head_level_offsets(tree, table_rows=DENSE_HEAD_MAX_ROWS)
+    assert len(with_head) > 1  # small tables keep the dense head
+    assert head_level_offsets(tree, table_rows=DENSE_HEAD_MAX_ROWS) == \
+        head_level_offsets(tree)
+    assert head_level_offsets(
+        tree, table_rows=DENSE_HEAD_MAX_ROWS + 1
+    ) == (0,)
