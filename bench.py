@@ -701,21 +701,29 @@ def _bench_northstar_stages(
         gc.collect()
 
         if os.environ.get("N2V_BENCH_NORTHSTAR_HS", "1") != "0":
-            # The first scale-23 execution of this stage crashed the TPU
-            # worker: a runtime lowering fault triggered by the CONJUNCTION
-            # {~8.4M-row theta} x {dense head} x {CL ~18} (bisection in
-            # experiments/hs_crash_bisect.py; BASELINE.md round 5 — not
-            # memory: AOT peak 11.6/16 GiB).  The trainer now auto-disables
-            # the dense head above hsoftmax.DENSE_HEAD_MAX_ROWS, and
-            # hs_max_code_length=18 pins this stage to the exact bisected-
-            # safe shape (the natural tail-capped CL here is 26, untested).
+            # The first scale-23 executions of this stage crashed the TPU
+            # worker twice (bisection: experiments/hs_crash_bisect.py,
+            # BASELINE.md round 5): (a) a shape fault in the CONJUNCTION
+            # {~8.4M-row theta} x {dense head} x {CL ~18} — the trainer
+            # auto-disables the head above hsoftmax.DENSE_HEAD_MAX_ROWS —
+            # then (b) the head-free whole-epoch program died at full scan
+            # length (4096 batches in ONE XLA execution) while identical
+            # 16-batch dispatches pass.  hs_max_code_length=18 pins the
+            # bisected-safe code length (the natural cap here is 26).
             w2v_hs = Word2VecParams(
                 min_count=1, vector_size=staged_dim, max_iter=1,
                 batch_walks=2048, negative=0, hs_max_code_length=18,
             )
             model = Word2VecTPU(w2v_hs)
             t0 = time.perf_counter()
-            model.fit(corpus, n_vertices=g.n_vertices)
+            # fit_host, not fit(): the whole-epoch single-dispatch program
+            # (4096 batches ~= one 8-minute XLA execution) dies through the
+            # tunnel at this scale while the identical program chunked into
+            # ~1-minute slab dispatches survives — see the comment above
+            model.fit_host(
+                walks_host[: g.n_vertices], n_vertices=g.n_vertices,
+                slab_walks=1 << 20,
+            )
             float(jnp.sum(model._emb_in[-1]))
             hs_s = time.perf_counter() - t0
             out.update(
